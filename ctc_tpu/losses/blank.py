@@ -1,0 +1,114 @@
+"""Standard blank-CTC loss (the torch.nn.CTCLoss capability of the reference,
+used at /root/reference/models/layers/AsyncTFCriterion.py:198 and
+/root/reference/test.py:514).
+
+Classic Graves CTC over the blank-expanded label sequence
+``z = [blank, l1, blank, l2, ..., lL, blank]`` (length S = 2L+1) with
+stay / advance / skip transitions, where skip is allowed into non-blank
+positions whose label differs from the one two slots back.  Computed in log
+space with a ``lax.scan`` over time; differentiated by autodiff through the
+scan (loss and grads match torch.nn.CTCLoss to float tolerance).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Finite log-zero for the blank lattice.  Large enough that exp() underflows
+# to exactly 0 in float32, small enough that sums of a few of them stay finite.
+_NEG = -1.0e30
+
+
+def _expand_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """``[B, L] -> [B, 2L+1]`` blank-interleaved label sequence."""
+    batch, max_l = targets.shape
+    z = jnp.full((batch, 2 * max_l + 1), blank, targets.dtype)
+    return z.at[:, 1::2].set(targets)
+
+
+def ctc_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    *,
+    blank: int = 0,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Blank CTC NLL.
+
+    Args:
+      logits: ``[T, B, C]`` unnormalized scores (log_softmax applied inside,
+        so pass raw logits — torch.nn.CTCLoss instead takes log-probs).
+      targets: ``[B, L]`` int labels (padding value irrelevant).
+      input_lengths / target_lengths: ``[B]`` valid lengths.
+      blank: blank class index (torch default 0).
+      reduction: ``'mean'`` (torch semantics: per-sample loss divided by
+        target length, then batch mean), ``'sum'`` or ``'none'``.
+    """
+    max_t, batch, num_classes = logits.shape
+    log_probs = jax.nn.log_softmax(logits, axis=2)
+    z = _expand_targets(jnp.mod(targets, num_classes), blank)  # [B, S]
+    s_len = z.shape[1]
+
+    # Skip transition allowed into odd (label) slots whose label differs from
+    # the label two slots back.
+    z_prev2 = jnp.concatenate([jnp.full((batch, 2), blank, z.dtype), z[:, :-2]], 1)
+    s_idx = jnp.arange(s_len)[None, :]
+    skip_ok = (s_idx >= 2) & (z != blank) & (z != z_prev2)  # [B, S]
+
+    # Emissions em[t, b, s] = log_probs[t, b, z[b, s]].
+    em = jnp.take_along_axis(
+        log_probs[:, :, None, :], z[None, :, :, None], axis=3
+    )[..., 0]  # [T, B, S]
+
+    # Valid lattice columns: s < 2 * target_length + 1.
+    valid = s_idx < (2 * target_lengths + 1)[:, None]  # [B, S]
+
+    alpha0 = jnp.full((batch, s_len), _NEG, logits.dtype)
+    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
+    alpha0 = jnp.where(
+        (s_idx == 1) & (target_lengths[:, None] > 0), em[0, :, 1][:, None], alpha0
+    )
+    alpha0 = jnp.where(valid, alpha0, _NEG)
+
+    def gather_final(alpha_t):
+        last_blank = jnp.take_along_axis(
+            alpha_t, jnp.clip(2 * target_lengths, 0, s_len - 1)[:, None], 1
+        )[:, 0]
+        last_label = jnp.take_along_axis(
+            alpha_t, jnp.clip(2 * target_lengths - 1, 0, s_len - 1)[:, None], 1
+        )[:, 0]
+        return jnp.where(
+            target_lengths > 0, jnp.logaddexp(last_blank, last_label), last_blank
+        )
+
+    final0 = jnp.where(input_lengths == 1, gather_final(alpha0), 0.0)
+
+    def step(carry, em_t):
+        alpha_prev, final = carry
+        t, em_t = em_t
+        shift1 = jnp.concatenate(
+            [jnp.full((batch, 1), _NEG, logits.dtype), alpha_prev[:, :-1]], 1
+        )
+        shift2 = jnp.concatenate(
+            [jnp.full((batch, 2), _NEG, logits.dtype), alpha_prev[:, :-2]], 1
+        )
+        shift2 = jnp.where(skip_ok, shift2, _NEG)
+        lse = jnp.logaddexp(jnp.logaddexp(alpha_prev, shift1), shift2)
+        alpha_t = jnp.where(valid, lse + em_t, _NEG)
+        final = jnp.where(t == input_lengths - 1, gather_final(alpha_t), final)
+        return (alpha_t, final), None
+
+    (_, final), _ = jax.lax.scan(
+        step, (alpha0, final0), (jnp.arange(1, max_t), em[1:])
+    )
+    nll = -final
+    if reduction == "mean":
+        return jnp.mean(nll / jnp.maximum(target_lengths, 1).astype(nll.dtype))
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "none":
+        return nll
+    raise ValueError(f"unknown reduction {reduction!r}")

@@ -1,0 +1,76 @@
+"""Emission-score builders for the CTC-family lattices.
+
+An "emission" is the per-lattice-cell log-score ``em[t, b, l]`` that gets added
+to the stay/advance transition log-sum-exp at each step of the dynamic program.
+The two blank-free modes of the reference differ only in how emissions are
+computed:
+
+* ``NoBlankCTC``   — ``em[t,b,l] = log_softmax(logits)[t, b, path[b, l]]``
+  (/root/reference/NoBlankCTC.py:96-102,136).
+* ``NoBlankBinaryCTC`` — ``em[t,b,l] = -BCE(sigmoid(logits)[t,b,:], path[b,l,:])``,
+  the negative *mean* binary cross-entropy over all C classes
+  (/root/reference/NoBlankBinaryCTC.py:108-116,146).
+
+Both are built here as dense XLA ops (gathers / MXU einsums) so the lattice
+scan kernel itself is mode-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ctc_tpu.ops.logspace import clamped_log_sigmoid_pair
+
+
+def gather_log_softmax_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
+    """Softmax-classification emissions for the blank-free lattice.
+
+    Args:
+      logits: ``[T, B, C]`` unnormalized class scores.
+      paths: ``[B, L]`` int class-index label paths.  Padded entries may be
+        ``-1``; they are wrapped modulo ``C`` (mimicking python negative
+        indexing in the reference, /root/reference/NoBlankCTC.py:102) — padded
+        cells are masked out of the DP so the value never matters.
+
+    Returns:
+      ``[T, B, L]`` float emissions ``log_softmax(logits)[t, b, paths[b, l]]``.
+    """
+    num_classes = logits.shape[-1]
+    log_probs = jax.nn.log_softmax(logits, axis=2)  # [T, B, C]
+    idx = jnp.mod(paths, num_classes)  # [B, L]
+    # Gather along the class axis: em[t, b, l] = log_probs[t, b, idx[b, l]].
+    return jnp.take_along_axis(
+        log_probs[:, :, None, :],  # [T, B, 1, C]
+        idx[None, :, :, None],  # [1, B, L, 1]
+        axis=3,
+    )[..., 0]
+
+
+def binary_ce_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
+    """Multi-label (binary cross-entropy) emissions.
+
+    ``em[t,b,l] = (1/C) * sum_c [ path[b,l,c] * log p[t,b,c]
+                                  + (1 - path[b,l,c]) * log (1 - p[t,b,c]) ]``
+    with ``p = sigmoid(logits)`` and each log term clamped at ``-100``
+    (torch.nn.BCELoss semantics, /root/reference/NoBlankBinaryCTC.py:112).
+
+    Rewritten as one MXU contraction:
+      ``em = einsum(path, log_p - log_1mp) / C + mean_c(log_1mp)``.
+
+    Args:
+      logits: ``[T, B, C]`` unnormalized per-class scores.
+      paths: ``[B, L, C]`` float multi-hot label paths.
+
+    Returns:
+      ``[T, B, L]`` float emissions.
+    """
+    num_classes = logits.shape[-1]
+    log_p, log_1mp = clamped_log_sigmoid_pair(logits)  # each [T, B, C]
+    diff = log_p - log_1mp
+    # MXU-friendly batched contraction over the class axis.
+    pos = jnp.einsum(
+        "blc,tbc->tbl", paths, diff, preferred_element_type=jnp.float32
+    )
+    base = jnp.sum(log_1mp, axis=2)  # [T, B]
+    return (pos + base[:, :, None]) / num_classes
