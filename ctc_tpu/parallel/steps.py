@@ -1,0 +1,125 @@
+"""Sharded training steps: shard_map + explicit ``lax.psum``/``pmean``
+gradient exchange over the ``data`` mesh axis.
+
+This is the TPU-native replacement for the reference's
+DataParallel/DistributedDataParallel wrap (/root/reference/models/__init__.py:33-43)
+— and it synchronizes *everything* (the reference only wrapped the I3D; LSTM
+head gradients were silently left unsynchronized, SURVEY.md §5.8).
+
+Improvements over the reference, documented: BatchNorm batch statistics are
+cross-replica averaged (the reference's per-GPU BN stats silently diverge).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ctc_tpu import losses
+from ctc_tpu.parallel.mesh import DATA_AXIS
+from ctc_tpu.train.metrics import topk_accuracy
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+_LOSS_FNS = {
+    "noblank": losses.no_blank_ctc_loss,
+    "binary": losses.no_blank_binary_ctc_loss,
+    "blank": losses.ctc_loss,
+}
+
+
+def shard_batch(batch: dict, mesh) -> dict:
+    """Place a host batch dict on the mesh, batch axis split over ``data``."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), batch
+    )
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree (params/state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), sharding), tree
+    )
+
+
+def make_sharded_train_step(
+    model, mesh, loss_kind: str = "noblank", implementation=None
+):
+    """Jitted train step with per-shard forward/backward and explicit
+    ``lax.pmean`` gradient + metric exchange over the ``data`` axis.
+
+    Use with a :class:`ctc_tpu.train.trainer.TrainState` whose params are
+    replicated (:func:`replicate`) and batches placed by :func:`shard_batch`.
+    """
+    loss_fn_core = _LOSS_FNS[loss_kind]
+    kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
+    # cross-replica (sync) BatchNorm so sharded training matches the
+    # single-device batch statistics exactly
+    if getattr(model, "bn_axis_name", None) is None and hasattr(model, "clone"):
+        try:
+            model = model.clone(bn_axis_name=DATA_AXIS)
+        except TypeError:
+            pass
+
+    def local_step(params, batch_stats, batch, rng):
+        feats = jnp.transpose(batch["feats"], (1, 0, 2))  # [T, Blocal, F]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_of(p):
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                feats,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = loss_fn_core(
+                logits,
+                batch["paths"],
+                batch["input_lengths"],
+                batch["target_lengths"],
+                **kwargs,
+            )
+            return loss, (mutated["batch_stats"], logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params)
+        # Cross-chip exchange: gradients, loss, BN stats, metrics — all ride
+        # ICI via one fused all-reduce each.
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        (top1, top5), _ = topk_accuracy(
+            logits[-1], batch["future_target"], topk=(1, 5)
+        )
+        top1 = jax.lax.pmean(top1, DATA_AXIS)
+        top5 = jax.lax.pmean(top5, DATA_AXIS)
+        return grads, loss, new_stats, top1, top5
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state, batch, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+        grads, loss, new_stats, top1, top5 = sharded(
+            state.params, state.batch_stats, batch, rng
+        )
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return state, {"loss": loss, "top1": top1, "top5": top5}
+
+    return train_step

@@ -1,0 +1,304 @@
+"""Training engine: jitted train/eval steps + an epoch-loop Trainer.
+
+TPU-native redesign of the reference Trainer (/root/reference/train.py:339-620):
+
+* the whole step — model forward, CTC-family loss, backward, optimizer
+  update, metrics — is ONE jitted function; no per-batch python DP, no
+  host<->device ping-pong.
+* optimizers are optax transforms; torch.optim.Adam semantics (L2 folded
+  into the gradient, reference models/__init__.py:69) are reproduced with
+  ``add_decayed_weights`` *before* ``scale_by_adam``.
+* batches may be sharded over a ``data`` mesh axis; under ``jax.jit`` with
+  sharded inputs XLA inserts the gradient all-reduce automatically (the
+  ``lax.psum`` path lives in :mod:`ctc_tpu.parallel` for shard_map use).
+* checkpoints are SAVED every epoch (the reference wires load but never
+  calls save — SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from functools import partial
+from typing import Any, Callable
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from ctc_tpu import losses
+from ctc_tpu.train.metrics import AverageMeter, topk_accuracy
+from ctc_tpu.train.schedule import step_decay_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Model + optimizer state (a pytree; flax.struct so it jits cleanly)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def torch_style_adam(
+    schedule: Callable[[int], float] | float, weight_decay: float = 0.0
+) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay): L2 added to the raw gradient."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam())
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+def torch_style_sgd(
+    schedule: Callable[[int], float] | float,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics (reference models/__init__.py:46)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=False))
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+_LOSS_FNS = {
+    "noblank": losses.no_blank_ctc_loss,
+    "binary": losses.no_blank_binary_ctc_loss,
+    "blank": losses.ctc_loss,
+}
+
+
+def make_train_step(model, loss_kind: str = "noblank", implementation=None):
+    """Build the jitted train step.
+
+    Batch dict (host layout, batch-major):
+      ``feats [B, T, F]``, ``paths`` (``[B, L]`` int for noblank/blank or
+      ``[B, L, C]`` float for binary), ``input_lengths [B]``,
+      ``target_lengths [B]``, ``future_target [B]`` int (top-k metric).
+    """
+    loss_fn_core = _LOSS_FNS[loss_kind]
+    kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
+
+    @jax.jit
+    def train_step(state: TrainState, batch, dropout_rng):
+        feats = jnp.transpose(batch["feats"], (1, 0, 2))  # [T, B, F]
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_of(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                feats,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )  # [T, B, C]
+            loss = loss_fn_core(
+                logits,
+                batch["paths"],
+                batch["input_lengths"],
+                batch["target_lengths"],
+                **kwargs,
+            )
+            return loss, (mutated["batch_stats"], logits)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        (top1, top5), _ = topk_accuracy(
+            logits[-1], batch["future_target"], topk=(1, 5)
+        )
+        metrics = {"loss": loss, "top1": top1, "top5": top5}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_kind: str = "noblank", implementation=None):
+    loss_fn_core = _LOSS_FNS[loss_kind]
+    kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        feats = jnp.transpose(batch["feats"], (1, 0, 2))
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            feats,
+            train=False,
+        )
+        loss = loss_fn_core(
+            logits,
+            batch["paths"],
+            batch["input_lengths"],
+            batch["target_lengths"],
+            **kwargs,
+        )
+        (top1, top5), _ = topk_accuracy(
+            logits[-1], batch["future_target"], topk=(1, 5)
+        )
+        return {"loss": loss, "top1": top1, "top5": top5}
+
+    return eval_step
+
+
+class Trainer:
+    """Epoch-loop driver with meters, CSV logs and checkpointing.
+
+    The data-loader contract is any iterable of batch dicts (see
+    :func:`make_train_step`); epochs re-iterate the loader.
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        loss_kind: str = "noblank",
+        lr: float = 1e-3,
+        weight_decay: float = 0.0,
+        lr_decay_epochs: int = 30,
+        steps_per_epoch: int = 1,
+        cache_dir: str | None = None,
+        print_freq: int = 100,
+        seed: int = 0,
+        implementation=None,
+    ):
+        self.model = model
+        self.schedule = step_decay_schedule(lr, lr_decay_epochs, steps_per_epoch)
+        self.tx = torch_style_adam(self.schedule, weight_decay)
+        self.train_step = make_train_step(model, loss_kind, implementation)
+        self.eval_step = make_eval_step(model, loss_kind, implementation)
+        self.cache_dir = cache_dir
+        self.print_freq = print_freq
+        self.rng = jax.random.PRNGKey(seed)
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    def init_state(self, example_batch) -> TrainState:
+        feats = jnp.transpose(example_batch["feats"], (1, 0, 2))
+        params_rng, dropout_rng, self.rng = jax.random.split(self.rng, 3)
+        variables = self.model.init(
+            {"params": params_rng, "dropout": dropout_rng}, feats, train=True
+        )
+        return TrainState.create(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=self.tx,
+        )
+
+    def _csv_writer(self, name):
+        if not self.cache_dir:
+            return None
+        f = open(os.path.join(self.cache_dir, name), "a", newline="")
+        return f, csv.writer(f)
+
+    def train_epoch(self, state: TrainState, loader, epoch: int):
+        meters = {k: AverageMeter() for k in ("loss", "top1", "top5", "time")}
+        dropout_rng = jax.random.fold_in(self.rng, epoch)
+        log = self._csv_writer("train_log.csv")
+        end = time.time()
+        for i, batch in enumerate(loader):
+            state, metrics = self.train_step(state, batch, dropout_rng)
+            n = batch["feats"].shape[0]
+            meters["loss"].update(float(metrics["loss"]), n)
+            meters["top1"].update(float(metrics["top1"]), n)
+            meters["top5"].update(float(metrics["top5"]), n)
+            meters["time"].update(time.time() - end)
+            end = time.time()
+            if i % self.print_freq == 0:
+                print(
+                    f"Epoch: [{epoch}][{i}]\t"
+                    f"Loss {meters['loss'].val:.3f} ({meters['loss'].avg:.3f})\t"
+                    f"Prec@1 {meters['top1'].val:.3f} ({meters['top1'].avg:.3f})\t"
+                    f"Prec@5 {meters['top5'].val:.3f} ({meters['top5'].avg:.3f})"
+                )
+                if log:
+                    log[1].writerow(
+                        [epoch, i, meters["loss"].val, meters["top1"].val,
+                         meters["top5"].val]
+                    )
+        if log:
+            log[0].close()
+        return state, {k: m.avg for k, m in meters.items()}
+
+    def validate(self, state: TrainState, loader, epoch: int):
+        meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        log = self._csv_writer("test_log.csv")
+        for i, batch in enumerate(loader):
+            metrics = self.eval_step(state, batch)
+            n = batch["feats"].shape[0]
+            for k in meters:
+                meters[k].update(float(metrics[k]), n)
+            if log and i % self.print_freq == 0:
+                log[1].writerow(
+                    [epoch, i, meters["loss"].val, meters["top1"].val,
+                     meters["top5"].val]
+                )
+        if log:
+            log[0].close()
+        return {k: m.avg for k, m in meters.items()}
+
+    def fit(
+        self,
+        train_loader,
+        val_loader,
+        *,
+        epochs: int,
+        state: TrainState | None = None,
+        start_epoch: int = 0,
+        checkpoint_best: bool = True,
+    ):
+        from ctc_tpu.train import checkpoints as ckpt
+
+        if state is None:
+            state = self.init_state(next(iter(train_loader)))
+        best = -float("inf")
+        history = []
+        score_log = self._csv_writer("score.csv")
+        for epoch in range(start_epoch, epochs):
+            state, train_metrics = self.train_epoch(state, train_loader, epoch)
+            val_metrics = self.validate(state, val_loader, epoch)
+            history.append({"train": train_metrics, "val": val_metrics})
+            if score_log:
+                score_log[1].writerow(
+                    [epoch, train_metrics["loss"], val_metrics["loss"],
+                     val_metrics["top1"], val_metrics["top5"]]
+                )
+                score_log[0].flush()
+            if self.cache_dir:
+                is_best = val_metrics["top1"] > best
+                best = max(best, val_metrics["top1"])
+                ckpt.save(
+                    self.cache_dir, state, epoch,
+                    score=val_metrics["top1"], is_best=is_best,
+                )
+        if score_log:
+            score_log[0].close()
+        return state, history

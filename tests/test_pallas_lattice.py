@@ -1,0 +1,58 @@
+"""Pallas lattice kernel vs the XLA scan path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctc_tpu.ops import lattice_xla
+from ctc_tpu.ops.lattice_pallas import noblank_lattice_nll_pallas
+
+
+def _case(rng, T, B, L, degenerate=False):
+    em = (rng.standard_normal((T, B, L)) - 1.0).astype(np.float32)
+    in_len = rng.integers(1, T + 1, size=B)
+    tgt_len = rng.integers(1, L + 1, size=B)
+    in_len[0], tgt_len[0] = T, L
+    if not degenerate:
+        tgt_len = np.minimum(tgt_len, in_len)
+    return jnp.asarray(em), jnp.asarray(in_len), jnp.asarray(tgt_len)
+
+
+@pytest.mark.parametrize(
+    "T,B,L",
+    [(16, 4, 10), (128, 8, 32), (37, 11, 157)],
+    ids=["small", "baseline", "odd-sizes"],
+)
+def test_pallas_matches_xla(rng, T, B, L):
+    em, in_len, tgt_len = _case(rng, T, B, L)
+    cot = jnp.asarray(rng.standard_normal(B).astype(np.float32))
+
+    def via_xla(e):
+        return jnp.sum(lattice_xla.noblank_lattice_nll(e, in_len, tgt_len) * cot)
+
+    def via_pallas(e):
+        return jnp.sum(
+            noblank_lattice_nll_pallas(e, in_len, tgt_len, interpret=True) * cot
+        )
+
+    v_x, g_x = jax.value_and_grad(via_xla)(em)
+    v_p, g_p = jax.value_and_grad(via_pallas)(em)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-5)
+
+
+def test_pallas_degenerate_lengths(rng):
+    em, in_len, tgt_len = _case(rng, 24, 4, 12, degenerate=True)
+    in_len = in_len.at[1].set(3)  # target_length may exceed input_length
+    nll_x = lattice_xla.noblank_lattice_nll(em, in_len, tgt_len)
+    nll_p = noblank_lattice_nll_pallas(em, in_len, tgt_len, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(nll_p), np.asarray(nll_x), rtol=1e-5, atol=1e-5
+    )
+    g_x = jax.grad(lambda e: jnp.sum(lattice_xla.noblank_lattice_nll(e, in_len, tgt_len)))(em)
+    g_p = jax.grad(
+        lambda e: jnp.sum(noblank_lattice_nll_pallas(e, in_len, tgt_len, interpret=True))
+    )(em)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-5)
