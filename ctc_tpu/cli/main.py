@@ -1,0 +1,93 @@
+"""Experiment driver.
+
+Equivalent of /root/reference/main.py:29-78 — seed, tee, build model +
+trainer, build data loaders (string-keyed dataset registry like
+datasets/__init__.py:14), optional resume, epoch loop with CSV score logs and
+per-epoch checkpoints — with multi-host init and mesh-sharded training when
+``num_hosts``/``data_parallel`` say so.
+
+Run: ``python -m ctc_tpu.cli.main --dataset synthetic --epochs 3 ...``
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+
+import jax
+
+from ctc_tpu import config as config_lib
+from ctc_tpu.models import LSTMHead
+from ctc_tpu.train import Trainer
+from ctc_tpu.utils import Tee, seed_everything
+
+
+def get_dataset(cfg):
+    """String-keyed dataset dispatch (reference datasets/__init__.py:11-44).
+
+    A dataset module must expose ``get(cfg) -> (train_batches, val_batches)``
+    where each is an iterable of batch dicts (see
+    :func:`ctc_tpu.train.trainer.make_train_step`).
+    """
+    module = importlib.import_module(f"ctc_tpu.data.loaders.{cfg.dataset}")
+    return module.get(cfg)
+
+
+def main(argv=None):
+    cfg = config_lib.parse(argv)
+    Tee(os.path.join(cfg.cache, "log.txt"))
+    print(f"config: {cfg}")
+    seed_everything(cfg.manual_seed)
+
+    if cfg.distributed:
+        from ctc_tpu.parallel.mesh import init_distributed
+
+        init_distributed(cfg.coordinator, cfg.num_hosts, cfg.host_id)
+
+    train_batches, val_batches = get_dataset(cfg)
+
+    model = LSTMHead(hidden=cfg.v_class, dropout_rate=cfg.dropout)
+    trainer = Trainer(
+        model,
+        loss_kind=cfg.loss,
+        lr=cfg.lr,
+        weight_decay=cfg.weight_decay,
+        lr_decay_epochs=cfg.lr_decay_rate,
+        steps_per_epoch=max(len(train_batches), 1),
+        cache_dir=cfg.cache,
+        print_freq=cfg.print_train_freq,
+        seed=cfg.manual_seed,
+        implementation=cfg.lattice_impl,
+    )
+
+    state = trainer.init_state(train_batches[0])
+    start_epoch = cfg.start_epoch
+    if cfg.resume:
+        from ctc_tpu.train import checkpoints as ckpt
+
+        state, epoch, score = ckpt.load(cfg.resume, state)
+        if epoch >= 0:
+            start_epoch = epoch + 1
+            print(f"resumed epoch {epoch} (score {score:.4f})")
+        else:
+            print("no checkpoint found, starting from scratch")
+
+    if cfg.evaluate:
+        metrics = trainer.validate(state, val_batches, epoch=start_epoch)
+        print(f"evaluate: {metrics}")
+        return metrics
+
+    state, history = trainer.fit(
+        train_batches,
+        val_batches,
+        epochs=cfg.epochs,
+        state=state,
+        start_epoch=start_epoch,
+    )
+    print(f"done: best val top1 "
+          f"{max(h['val']['top1'] for h in history):.3f}")
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Experiment configuration.
+
+Dataclass mirror of the reference's argparse flags (/root/reference/opts.py:6-85)
+plus TPU-specific knobs; parseable from the command line with the same flag
+names (``--v-class``, ``--lr-decay-rate``, ...).  Derived fields (``cache``,
+``distributed``) are computed in ``finalize()`` like opts.py:78-83.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Config:
+    # data paths (opts.py:9-21)
+    rgb_data: str = "./charades/Charades_v1_rgb/"
+    rgb_my_data: str = "./charades/Mydata_rgb"
+    dataset: str = "charades_ctc_next_pred"
+    my_dataset: str = "charades_my_pred"
+    train_file: str = "./Charades_v1_train.csv"
+    val_file: str = "./Charades_v1_test.csv"
+    groundtruth_lookup: str = "./groundtruth.p"
+    rgb_arch: str = "i3d"
+    rgb_pretrained_weights: str = ""
+    features_dir: str = ""  # cached-I3D-features mode (BASELINE config 4)
+
+    # training geometry (opts.py:24-44)
+    workers: int = 8
+    epochs: int = 20
+    start_epoch: int = 0
+    batch_size: int = 10
+    lr: float = 1e-3
+    lr_decay_rate: int = 3
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    print_train_freq: int = 10
+    print_test_freq: int = 10
+    resume: str = ""
+    evaluate: bool = False
+    inputsize: int = 224
+    extract_feat_dim: int = 1024
+    manual_seed: int = 0
+    train_size: float = 2.0
+    val_size: float = 2.0
+    cache_dir: str = "./cache/"
+    name: str = "test"
+    accum_grad: int = 1
+    alpha: float = 1.0  # CE-vs-CTC mixing scale (opts.py:74)
+
+    # class counts + temporal geometry (opts.py:59-67)
+    num_low_rank: int = 5
+    s_class: int = 16
+    o_class: int = 38
+    v_class: int = 33
+    c_class: int = 157
+    temporal: int = 1
+    gap: int = 1
+    num_trans: int = 1
+    node_rnn_size: int = 1024
+    edge_rnn_size: int = 1024
+
+    # parallelism (replaces world-size/dist-url/dist-backend, opts.py:48-53)
+    num_hosts: int = 1
+    host_id: int = 0
+    coordinator: str = ""
+    data_parallel: int | None = None  # mesh data axis (None = all devices)
+    model_parallel: int = 1
+
+    # loss/kernel selection (new)
+    loss: str = "noblank"  # noblank | binary | blank
+    lattice_impl: str | None = None  # xla | pallas | None(auto)
+    dropout: float = 0.3
+
+    # derived (finalize())
+    cache: str = ""
+    distributed: bool = False
+
+    def finalize(self) -> "Config":
+        self.distributed = self.num_hosts > 1
+        self.cache = os.path.join(self.cache_dir, self.name) + os.sep
+        os.makedirs(self.cache, exist_ok=True)
+        return self
+
+
+def parse(argv=None) -> Config:
+    """Parse CLI flags into a Config (same flag spelling as the reference)."""
+    parser = argparse.ArgumentParser(description="ctc_tpu training")
+    for f in dataclasses.fields(Config):
+        if f.name in ("cache", "distributed"):
+            continue
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(flag, action="store_true", default=f.default)
+        else:
+            typ = type(f.default) if f.default is not None else str
+            parser.add_argument(flag, type=typ, default=f.default)
+    ns = parser.parse_args(argv)
+    cfg = Config(**{f.name: getattr(ns, f.name)
+                    for f in dataclasses.fields(Config)
+                    if f.name not in ("cache", "distributed")})
+    return cfg.finalize()

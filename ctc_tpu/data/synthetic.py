@@ -32,7 +32,11 @@ def synthetic_feature_batches(
     """
     rng = np.random.default_rng(seed)
     max_path = max_path or temporal
-    class_emb = rng.standard_normal((num_classes, feat_dim)).astype(np.float32)
+    # class embeddings come from a FIXED seed so train/val splits (different
+    # sample seeds) share the same feature->class mapping
+    class_emb = np.random.default_rng(12345).standard_normal(
+        (num_classes, feat_dim)
+    ).astype(np.float32)
     batches = []
     for _ in range(num_batches):
         feats = np.zeros((batch_size, temporal, feat_dim), np.float32)
