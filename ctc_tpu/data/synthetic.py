@@ -48,7 +48,8 @@ def synthetic_feature_batches(
         tgt_len = np.zeros((batch_size,), np.int64)
         future = np.zeros((batch_size,), np.int32)
         for b in range(batch_size):
-            path_len = int(rng.integers(2, max_path + 1))
+            cap = min(max_path, num_classes, temporal)
+            path_len = int(rng.integers(2, max(cap, 2) + 1))
             labels = rng.choice(num_classes, size=path_len, replace=False)
             # segment boundaries: when each label becomes active
             bounds = np.sort(
