@@ -35,12 +35,14 @@ def ctc_loss(
     *,
     blank: int = 0,
     reduction: str = "mean",
+    normalize: bool = True,
 ) -> jnp.ndarray:
     """Blank CTC NLL.
 
     Args:
       logits: ``[T, B, C]`` unnormalized scores (log_softmax applied inside,
-        so pass raw logits — torch.nn.CTCLoss instead takes log-probs).
+        so pass raw logits — torch.nn.CTCLoss instead takes log-probs; pass
+        ``normalize=False`` to feed log-probabilities directly).
       targets: ``[B, L]`` int labels (padding value irrelevant).
       input_lengths / target_lengths: ``[B]`` valid lengths.
       blank: blank class index (torch default 0).
@@ -48,7 +50,7 @@ def ctc_loss(
         target length, then batch mean), ``'sum'`` or ``'none'``.
     """
     max_t, batch, num_classes = logits.shape
-    log_probs = jax.nn.log_softmax(logits, axis=2)
+    log_probs = jax.nn.log_softmax(logits, axis=2) if normalize else logits
     z = _expand_targets(jnp.mod(targets, num_classes), blank)  # [B, S]
     s_len = z.shape[1]
 
