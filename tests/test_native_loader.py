@@ -1,0 +1,63 @@
+"""Native C++ frame pipeline vs the PIL reference path."""
+
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ctc_tpu.data import native_loader
+from ctc_tpu.data.frames import load_frame
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (w, h) in enumerate([(320, 240), (240, 320), (640, 480), (100, 80)]):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        # smooth it so JPEG artifacts don't dominate the comparison
+        img = (img.astype(np.float32) * 0.3 + 128 * 0.7).astype(np.uint8)
+        p = d / f"frame{i}.jpg"
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(str(p))
+    return paths
+
+
+def test_native_builds():
+    assert native_loader.native_available(), "libctcdata.so failed to build"
+
+
+def test_native_matches_pil(jpeg_dir):
+    if not native_loader.native_available():
+        pytest.skip("native lib unavailable")
+    got = native_loader.decode_frames(jpeg_dir, inputsize=224)
+    want = np.stack([load_frame(p, 224) for p in jpeg_dir])
+    assert got.shape == want.shape == (4, 224, 224, 3)
+    # PIL uses fixed-point filter coefficients; allow a few gray levels
+    diff = np.abs(got - want)
+    assert float(diff.mean()) < 2.0 / 255.0, float(diff.mean())
+    assert float(np.quantile(diff, 0.99)) < 8.0 / 255.0
+
+
+def test_native_error_path(tmp_path):
+    if not native_loader.native_available():
+        pytest.skip("native lib unavailable")
+    with pytest.raises(IOError):
+        native_loader.decode_frames([str(tmp_path / "missing.jpg")])
+
+
+def test_native_is_faster_on_many_frames(jpeg_dir):
+    if not native_loader.native_available():
+        pytest.skip("native lib unavailable")
+    paths = jpeg_dir * 25  # 100 frames
+    t0 = time.time()
+    native_loader.decode_frames(paths, inputsize=224)
+    t_native = time.time() - t0
+    t0 = time.time()
+    for p in paths:
+        load_frame(p, 224)
+    t_pil = time.time() - t0
+    # multithreaded native decode should comfortably beat sequential PIL
+    assert t_native < t_pil, (t_native, t_pil)
