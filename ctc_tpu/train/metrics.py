@@ -85,29 +85,37 @@ def multilabel_topk_accuracy(output, target, topk=(1, 5)):
     return res, correct[:, 0]
 
 
-def _transition_scan(pred_row, target, valid_len, collect_per_t: bool):
+def _transition_scan(pred_row, target, valid_len, collect_per_t: bool,
+                     j_limit=None):
     """Shared DTW-style matcher for one top-k row of one sample.
 
     Walks predictions left-to-right; at step j searches the label path for the
     first position ``t >= current_id`` (within ``valid_len``) whose multi-hot
     row contains the predicted class, marks a hit and moves ``current_id`` to
-    ``t``.  Mirrors reference train.py:93-103 / 122-130.
+    ``t``.  Mirrors reference train.py:93-103 / 122-130.  ``j_limit``
+    restricts which prediction columns participate (the reference's
+    ``recall_time`` walks only the first ``trans`` columns, train.py:99).
     """
     path_len = target.shape[0]
     positions = jnp.arange(path_len)
 
-    def step(current_id, p):
+    def step(current_id, inp):
+        j, p = inp
         ok = (
             (positions >= current_id)
             & (positions < valid_len)
             & (target[:, p] > 0.5)
         )
+        if j_limit is not None:
+            ok = ok & (j < j_limit)
         any_hit = jnp.any(ok)
         t_hit = jnp.argmax(ok)  # first True
         new_id = jnp.where(any_hit, t_hit, current_id)
         return new_id, (any_hit, t_hit)
 
-    _, (hits, t_hits) = jax.lax.scan(step, jnp.int32(0), pred_row)
+    _, (hits, t_hits) = jax.lax.scan(
+        step, jnp.int32(0), (jnp.arange(pred_row.shape[0]), pred_row)
+    )
     if collect_per_t:
         # recall flavor: mark which label positions were ever matched
         per_t = jnp.zeros((path_len,), jnp.float32)
@@ -141,7 +149,8 @@ def transition_recall(output, target, valid_len, topk=(1, 5)):
     maxk = max(topk)
     pred = _topk_indices(output, maxk).T  # [maxk, T]
     per_t = jax.vmap(
-        lambda row: _transition_scan(row, target, valid_len, True)
+        lambda row: _transition_scan(row, target, valid_len, True,
+                                     j_limit=valid_len)
     )(pred)  # [maxk, Lmax]
     denom = jnp.maximum(valid_len, 1).astype(jnp.float32)
     res = tuple(jnp.sum(per_t[:k]) * 100.0 / denom for k in topk)
