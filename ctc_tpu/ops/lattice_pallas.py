@@ -34,6 +34,9 @@ from ctc_tpu.ops.logspace import NEG_SENTINEL
 
 _B_TILE = 8
 _LANE = 128
+# VMEM budget per kernel: the [T, tile, L] alpha/emission/g blocks are
+# double-buffered by the pipeline; keep 4 * block_bytes under ~14MB.
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,40 +118,49 @@ def _pad_tbl(x, t, b_pad, l_pad, fill):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _forward_padded(em_p, outside_p, *, interpret=False):
+def _choose_tile(max_t: int, l_pad: int) -> int:
+    """Largest batch tile whose double-buffered blocks fit the VMEM budget."""
+    for tile in (32, 16, 8):
+        if 4 * max_t * tile * l_pad * 4 <= _VMEM_BUDGET:
+            return tile
+    return _B_TILE
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _forward_padded(em_p, outside_p, *, tile=_B_TILE, interpret=False):
     max_t, b_pad, l_pad = em_p.shape
-    grid = (b_pad // _B_TILE,)
+    grid = (b_pad // tile,)
     return pl.pallas_call(
         _forward_kernel,
         out_shape=jax.ShapeDtypeStruct((max_t, b_pad, l_pad), em_p.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (max_t, _B_TILE, l_pad),
+                (max_t, tile, l_pad),
                 lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (_B_TILE, l_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile, l_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (max_t, _B_TILE, l_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (max_t, tile, l_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(em_p, outside_p)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _backward_padded(alpha_p, inject_row_p, inlen_p, inside_p, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _backward_padded(alpha_p, inject_row_p, inlen_p, inside_p, *, tile=_B_TILE,
+                     interpret=False):
     max_t, b_pad, l_pad = alpha_p.shape
-    grid = (b_pad // _B_TILE,)
+    grid = (b_pad // tile,)
     row_spec = pl.BlockSpec(
-        (_B_TILE, l_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile, l_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tbl_spec = pl.BlockSpec(
-        (max_t, _B_TILE, l_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (max_t, tile, l_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         _backward_kernel,
@@ -172,11 +184,13 @@ def _masks(input_lengths, target_lengths, b_pad, l_pad):
 
 def _run_forward(emissions, input_lengths, target_lengths, interpret):
     max_t, batch, max_l = emissions.shape
-    b_pad = _round_up(batch, _B_TILE)
     l_pad = _round_up(max_l, _LANE)
+    # interpret mode (CPU tests): smallest tile — padding rows are pure waste
+    tile = _B_TILE if interpret else _choose_tile(max_t, l_pad)
+    b_pad = _round_up(batch, tile)
     em_p = _pad_tbl(emissions, max_t, b_pad, l_pad, 0.0)
     outside, tgt, inl = _masks(input_lengths, target_lengths, b_pad, l_pad)
-    alpha_p = _forward_padded(em_p, outside, interpret=interpret)
+    alpha_p = _forward_padded(em_p, outside, tile=tile, interpret=interpret)
     # nll = -alpha[T_b-1, b, L_b-1] — gather in XLA.
     at_l = jnp.take_along_axis(
         alpha_p, jnp.clip(tgt - 1, 0, l_pad - 1)[None, :, None], axis=2
@@ -219,8 +233,9 @@ def _nll_pallas_bwd(interpret, residuals, nll_bar):
         lane == (tgt - 1)[:, None], -bar[:, None], 0.0
     ).astype(alpha_p.dtype)
     inlen_b = jnp.broadcast_to(inl[:, None], (b_pad, l_pad)).astype(jnp.float32)
+    tile = _B_TILE if interpret else _choose_tile(max_t, l_pad)
     g_p = _backward_padded(
-        alpha_p, inject_row, inlen_b, inside, interpret=interpret
+        alpha_p, inject_row, inlen_b, inside, tile=tile, interpret=interpret
     )
     return (g_p[:, :batch, :max_l], None, None)
 
