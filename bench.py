@@ -76,17 +76,26 @@ def bench_ours(iters: int = 100) -> float:
         np.minimum(rng.integers(1, L + 1, size=B), np.asarray(in_len))
     )
 
-    impl = "pallas" if backend == "tpu" else "xla"
-
-    @jax.jit
-    def fwd_bwd(e):
-        return jax.grad(
-            lambda x: jnp.sum(
-                dispatch.lattice_nll(x, in_len, tgt_len, implementation=impl)
+    impls = ["pallas", "xla"] if backend == "tpu" else ["xla"]
+    fwd_bwd = None
+    for impl in impls:
+        try:
+            candidate = jax.jit(
+                lambda e, _impl=impl: jax.grad(
+                    lambda x: jnp.sum(
+                        dispatch.lattice_nll(
+                            x, in_len, tgt_len, implementation=_impl
+                        )
+                    )
+                )(e)
             )
-        )(e)
-
-    fwd_bwd(em).block_until_ready()  # compile
+            candidate(em).block_until_ready()  # compile check
+            fwd_bwd = candidate
+            break
+        except Exception as e:  # pragma: no cover - kernel compile failure
+            _log(f"implementation {impl!r} failed to compile ({e}); "
+                 f"falling back")
+    assert fwd_bwd is not None, "no lattice implementation compiled"
     t0 = time.time()
     for _ in range(iters):
         out = fwd_bwd(em)

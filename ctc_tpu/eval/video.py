@@ -1,0 +1,96 @@
+"""Video-level evaluation driver — the reference's *intended* val_video path
+(main.py:50 calls an undefined ``validate_video`` and crashes, SURVEY.md §2.3;
+the machinery in utils/map.py + utils/__init__.py was dead).  Here it works:
+
+1. run the model over every val_video window (10 linspaced windows/video),
+2. aggregate per-video class scores (mean of final-timestep logits),
+3. Charades mAP over future verbs (:func:`video_verb_map`) and, for models
+   with (o, v) heads, relation tagging via score composition
+   (:func:`video_relation_eval`).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from ctc_tpu.eval.map import charades_map
+from ctc_tpu.eval.relation import compose_ov_predictions, eval_visual_relation
+
+
+def aggregate_video_scores(ids, window_scores) -> dict:
+    """Mean per-video of ``[N_windows, C]`` scores grouped by video id."""
+    buckets = defaultdict(list)
+    for vid, s in zip(ids, window_scores):
+        buckets[vid].append(np.asarray(s))
+    return {vid: np.mean(rows, axis=0) for vid, rows in buckets.items()}
+
+
+def video_verb_map(video_scores: dict, gt_table: dict, num_verbs: int):
+    """Charades mAP over future verbs.
+
+    Args:
+      video_scores: ``{vid: [num_verbs] scores}``.
+      gt_table: ``{vid: [[s, o, v], ...]}`` (prepare_windows val_video output).
+
+    Returns ``(mAP, weighted_ap, per_class_ap)``.
+    """
+    vids = [v for v in gt_table if v in video_scores]
+    scores = np.stack([video_scores[v] for v in vids])
+    gt = np.zeros((len(vids), num_verbs), np.int64)
+    for i, vid in enumerate(vids):
+        for _, _, verb in gt_table[vid]:
+            gt[i, verb] = 1
+    return charades_map(scores, gt)
+
+
+def video_relation_eval(video_o_scores: dict, video_v_scores: dict,
+                        gt_table: dict):
+    """(object, verb) tagging eval: compose top pair scores per video and run
+    the relation evaluation against ``gt_table`` (s dropped — ov pairs)."""
+    prediction = {}
+    for vid in gt_table:
+        if vid not in video_o_scores:
+            continue
+        preds = compose_ov_predictions(
+            video_o_scores[vid], video_v_scores[vid]
+        )
+        prediction[vid] = preds
+    gt_ov = {
+        vid: [(o, v) for _, o, v in rows] for vid, rows in gt_table.items()
+    }
+    return eval_visual_relation(prediction, gt_ov)
+
+
+def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
+                    num_verbs: int = 33):
+    """Run the LSTM head over val_video windows and compute verb mAP.
+
+    Args:
+      model/state: flax model + TrainState (eval mode, batch stats used).
+      data: a val_video ``prepare_windows`` dict with a ``features`` array
+        ``[N, T, F]`` attached under ``data['features']``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    feats = np.asarray(data["features"])
+    n = feats.shape[0]
+
+    @jax.jit
+    def forward(x):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.transpose(x, (1, 0, 2)),
+            train=False,
+        )
+
+    window_scores = []
+    for i0 in range(0, n, batch_size):
+        logits = forward(jnp.asarray(feats[i0 : i0 + batch_size]))
+        window_scores.extend(np.asarray(logits[-1]))  # final timestep
+    video_scores = aggregate_video_scores(data["ids"], window_scores)
+    m_ap, w_ap, per_class = video_verb_map(video_scores, gt_table, num_verbs)
+    return {"mAP": float(m_ap), "video_scores": video_scores,
+            "per_class_ap": per_class}

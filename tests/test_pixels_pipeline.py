@@ -47,9 +47,9 @@ def test_charades_pixels_cli_epoch(tmp_path):
         "id,subject,scene,quality,relevance,verified,script,objects,"
         "descriptions,actions,length"
     ]
-    for i in range(3):
+    for i in range(2):
         vid = f"PIX{i}"
-        n_frames = 400
+        n_frames = 300
         _write_video(tmp_path, vid, n_frames)
         acts = []
         t0 = 0.5
