@@ -75,6 +75,24 @@ def main(argv=None):
     if cfg.evaluate:
         metrics = trainer.validate(state, val_batches, epoch=start_epoch)
         print(f"evaluate: {metrics}")
+        # video-level mAP when the dataset provides a val_video split
+        try:
+            loader_mod = importlib.import_module(
+                f"ctc_tpu.data.loaders.{cfg.dataset}"
+            )
+            get_vv = getattr(loader_mod, "get_val_video", None)
+            if get_vv is not None:
+                from ctc_tpu.eval.video import evaluate_videos
+
+                data, gt_table = get_vv(cfg)
+                if len(data["ids"]):
+                    out = evaluate_videos(
+                        model, state, data, gt_table, num_verbs=cfg.v_class
+                    )
+                    print(f"video mAP: {out['mAP']:.4f}")
+                    metrics["video_mAP"] = out["mAP"]
+        except Exception as e:
+            print(f"video eval skipped: {e}")
         return metrics
 
     state, history = trainer.fit(

@@ -77,3 +77,33 @@ def get(cfg):
     train = _split_batches(cfg, "train", cfg.train_file, collate)
     val = _split_batches(cfg, "val", cfg.val_file, collate)
     return train, val
+
+
+def get_val_video(cfg):
+    """val_video split: per-video linspaced windows + gt_table + features
+    (the reference's valvideo_loader + gt_table pair,
+    datasets/__init__.py:36-44), for :func:`ctc_tpu.eval.video.evaluate_videos`."""
+    labels = charades.parse_charades_csv(cfg.val_file)
+    frame_counts = {
+        vid: charades.count_frames(cfg.rgb_data, vid) for vid in labels
+    }
+    data, gt_table = charades.cached_prepare(
+        cfg.cache, "val_video", labels, frame_counts,
+        temporal=cfg.temporal, gap=cfg.gap, num_trans=cfg.num_trans,
+        rgb_root=cfg.rgb_data,
+    )
+    if len(data["ids"]) == 0:
+        return data, gt_table
+    if cfg.features_dir:
+        feats = np.load(
+            os.path.join(cfg.features_dir, "features_val_video.npy"),
+            mmap_mode="r",
+        )
+    else:
+        feats = extract_split_features(
+            data, _extractor(cfg),
+            os.path.join(cfg.cache, "features_val_video"),
+            gap=cfg.gap, inputsize=cfg.inputsize,
+        )
+    data["features"] = np.asarray(feats)
+    return data, gt_table

@@ -274,17 +274,38 @@ class Trainer:
         state: TrainState | None = None,
         start_epoch: int = 0,
         checkpoint_best: bool = True,
+        max_restarts: int = 0,
     ):
+        """Epoch loop with per-epoch checkpointing and, with
+        ``max_restarts > 0``, crash recovery: an epoch that raises restores
+        the last checkpoint and continues (failure-recovery capability the
+        reference lacks entirely, SURVEY.md §5.3).  Requires ``cache_dir``."""
         from ctc_tpu.train import checkpoints as ckpt
 
         if state is None:
             state = self.init_state(next(iter(train_loader)))
         best = -float("inf")
         history = []
+        restarts = 0
         score_log = self._csv_writer("score.csv")
-        for epoch in range(start_epoch, epochs):
-            state, train_metrics = self.train_epoch(state, train_loader, epoch)
-            val_metrics = self.validate(state, val_loader, epoch)
+        epoch = start_epoch
+        while epoch < epochs:
+            try:
+                state, train_metrics = self.train_epoch(
+                    state, train_loader, epoch
+                )
+                val_metrics = self.validate(state, val_loader, epoch)
+            except Exception as e:
+                if restarts >= max_restarts or not self.cache_dir:
+                    raise
+                restarts += 1
+                state, last_epoch, _ = ckpt.load(self.cache_dir, state)
+                print(
+                    f"epoch {epoch} failed ({type(e).__name__}: {e}); "
+                    f"restored epoch {last_epoch}, restart {restarts}"
+                )
+                epoch = last_epoch + 1 if last_epoch >= 0 else start_epoch
+                continue
             history.append({"train": train_metrics, "val": val_metrics})
             if score_log:
                 score_log[1].writerow(
@@ -299,6 +320,7 @@ class Trainer:
                     self.cache_dir, state, epoch,
                     score=val_metrics["top1"], is_best=is_best,
                 )
+            epoch += 1
         if score_log:
             score_log[0].close()
         return state, history
