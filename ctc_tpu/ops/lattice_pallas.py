@@ -92,8 +92,10 @@ def _backward_kernel(
             alpha_prev = alpha_ref[t]  # alpha at step t == prev for step t+1
             adv = pltpu.roll(alpha_prev, shift=1, axis=1)
             adv = jnp.where(lane0, NEG_SENTINEL, adv)
-            w_stay = jax.nn.sigmoid(alpha_prev - adv) * inside
-            w_adv = jax.nn.sigmoid(adv - alpha_prev) * inside
+            # one transcendental: sigmoid(-x) == 1 - sigmoid(x)
+            w_stay_raw = jax.nn.sigmoid(alpha_prev - adv)
+            w_stay = w_stay_raw * inside
+            w_adv = (1.0 - w_stay_raw) * inside
             from_adv = g_next * w_adv
             # left-shift by one lane == roll by L-1 (pltpu.roll needs shift>=0)
             from_adv = jnp.where(

@@ -125,8 +125,9 @@ def _nll_bwd(residuals, nll_bar):
     )
     t_pos = (jnp.arange(max_t) > 0)[:, None, None]
     adv_input = jnp.where(t_pos, adv_input, NEG_SENTINEL)
-    w_stay = jax.nn.sigmoid(alpha_prev - adv_input) * inside[None]
-    w_adv = jax.nn.sigmoid(adv_input - alpha_prev) * inside[None] * t_pos
+    w_stay_raw = jax.nn.sigmoid(alpha_prev - adv_input)
+    w_stay = w_stay_raw * inside[None]
+    w_adv = (1.0 - w_stay_raw) * inside[None] * t_pos
 
     # Cotangent injection: nll = -alpha[T_b - 1, b, L_b - 1].
     t_idx = jnp.arange(max_t)[:, None]  # [T, 1]
