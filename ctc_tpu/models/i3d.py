@@ -36,6 +36,7 @@ class Unit3D(nn.Module):
     use_batch_norm: bool = True
     use_bias: bool = False
     activation: Callable | None = nn.relu
+    dtype: Any = None  # conv compute dtype (bf16 on TPU); BN/params in f32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -45,8 +46,10 @@ class Unit3D(nn.Module):
             strides=tuple(self.stride),
             padding="SAME",
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv3d",
         )(x)
+        x = x.astype(jnp.float32)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -70,17 +73,19 @@ class InceptionModule(nn.Module):
     """4-branch Inception block (reference i3d.py:147-172)."""
 
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3b]
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         oc = self.out_channels
-        b0 = Unit3D(oc[0], (1, 1, 1), name="b0")(x, train=train)
-        b1 = Unit3D(oc[1], (1, 1, 1), name="b1a")(x, train=train)
-        b1 = Unit3D(oc[2], (3, 3, 3), name="b1b")(b1, train=train)
-        b2 = Unit3D(oc[3], (1, 1, 1), name="b2a")(x, train=train)
-        b2 = Unit3D(oc[4], (3, 3, 3), name="b2b")(b2, train=train)
+        d = self.dtype
+        b0 = Unit3D(oc[0], (1, 1, 1), dtype=d, name="b0")(x, train=train)
+        b1 = Unit3D(oc[1], (1, 1, 1), dtype=d, name="b1a")(x, train=train)
+        b1 = Unit3D(oc[2], (3, 3, 3), dtype=d, name="b1b")(b1, train=train)
+        b2 = Unit3D(oc[3], (1, 1, 1), dtype=d, name="b2a")(x, train=train)
+        b2 = Unit3D(oc[4], (3, 3, 3), dtype=d, name="b2b")(b2, train=train)
         b3 = _max_pool_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), name="b3b")(b3, train=train)
+        b3 = Unit3D(oc[5], (1, 1, 1), dtype=d, name="b3b")(b3, train=train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -118,6 +123,7 @@ class InceptionI3d(nn.Module):
     num_classes: int = 400
     dropout_rate: float = 0.5
     final_endpoint: str = "Mixed_5c"
+    dtype: Any = None  # conv compute dtype (e.g. jnp.bfloat16)
 
     @nn.compact
     def __call__(
@@ -143,12 +149,15 @@ class InceptionI3d(nn.Module):
         for name, spec in _ENDPOINTS:
             if spec[0] == "unit":
                 _, feats, kernel, stride = spec
-                x = Unit3D(feats, kernel, stride, name=name)(x, train=train)
+                x = Unit3D(feats, kernel, stride, dtype=self.dtype,
+                           name=name)(x, train=train)
             elif spec[0] == "pool":
                 _, kernel, stride = spec
                 x = _max_pool_same(x, kernel, stride)
             else:
-                x = InceptionModule(spec[1], name=name)(x, train=train)
+                x = InceptionModule(spec[1], dtype=self.dtype, name=name)(
+                    x, train=train
+                )
             if name == self.final_endpoint:
                 break
 

@@ -94,10 +94,12 @@ class FeatureHead(nn.Module):
     features: int
     dropout_rate: float = 0.3
     bn_axis_name: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
-        x = nn.Dense(self.features, name="proj")(x)
+        x = nn.Dense(self.features, name="proj", dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)  # BatchNorm statistics in f32
         x = TemporalBatchNorm(name="bn", axis_name=self.bn_axis_name)(
             x, use_running_average=not train
         )
@@ -117,6 +119,8 @@ class LSTMHead(nn.Module):
     dropout_rate: float = 0.3
     bn_axis_name: str | None = None
     param_dtype: Any = jnp.float32
+    dtype: Any = None  # compute dtype for the matmuls (e.g. bf16); params
+                       # and the recurrence state stay f32
 
     @nn.compact
     def __call__(
@@ -130,11 +134,13 @@ class LSTMHead(nn.Module):
         max_t, batch, _ = feats.shape
         hidden = self.hidden
         v = FeatureHead(
-            hidden, self.dropout_rate, self.bn_axis_name, name="feature_head"
+            hidden, self.dropout_rate, self.bn_axis_name, self.dtype,
+            name="feature_head",
         )(feats, train=train)  # [T, B, H]
 
         # Input-to-gates for all timesteps in one MXU matmul.
-        xw = nn.Dense(4 * hidden, name="input_gates")(v)  # [T, B, 4H]
+        xw = nn.Dense(4 * hidden, name="input_gates", dtype=self.dtype)(v)
+        xw = xw.astype(jnp.float32)  # [T, B, 4H]
         w_h = self.param(
             "recurrent_kernel",
             nn.initializers.lecun_normal(),
