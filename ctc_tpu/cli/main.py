@@ -58,6 +58,7 @@ def main(argv=None):
         print_freq=cfg.print_train_freq,
         seed=cfg.manual_seed,
         implementation=cfg.lattice_impl,
+        ce_weight=(cfg.alpha if cfg.alpha != 1.0 else 0.0),
     )
 
     state = trainer.init_state(train_batches[0])

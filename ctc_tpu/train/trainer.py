@@ -96,13 +96,18 @@ _LOSS_FNS = {
 }
 
 
-def make_train_step(model, loss_kind: str = "noblank", implementation=None):
+def make_train_step(model, loss_kind: str = "noblank", implementation=None,
+                    ce_weight: float = 0.0):
     """Build the jitted train step.
 
     Batch dict (host layout, batch-major):
       ``feats [B, T, F]``, ``paths`` (``[B, L]`` int for noblank/blank or
       ``[B, L, C]`` float for binary), ``input_lengths [B]``,
       ``target_lengths [B]``, ``future_target [B]`` int (top-k metric).
+
+    ``ce_weight`` > 0 adds a cross-entropy term on the final timestep vs the
+    future target, scaled by the reference's ``--alpha`` (opts.py:74,
+    Trainer.train's CE-vs-CTC mixing scale).
     """
     loss_fn_core = _LOSS_FNS[loss_kind]
     kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
@@ -127,6 +132,10 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None):
                 batch["target_lengths"],
                 **kwargs,
             )
+            if ce_weight:
+                loss = loss + ce_weight * losses.cross_entropy(
+                    logits[-1], batch["future_target"]
+                )
             return loss, (mutated["batch_stats"], logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
@@ -189,11 +198,13 @@ class Trainer:
         print_freq: int = 100,
         seed: int = 0,
         implementation=None,
+        ce_weight: float = 0.0,
     ):
         self.model = model
         self.schedule = step_decay_schedule(lr, lr_decay_epochs, steps_per_epoch)
         self.tx = torch_style_adam(self.schedule, weight_decay)
-        self.train_step = make_train_step(model, loss_kind, implementation)
+        self.train_step = make_train_step(model, loss_kind, implementation,
+                                          ce_weight)
         self.eval_step = make_eval_step(model, loss_kind, implementation)
         self.cache_dir = cache_dir
         self.print_freq = print_freq
