@@ -9,6 +9,12 @@ from ctc_tpu.ops.lattice_xla import (
     noblank_lattice_nll,
     noblank_lattice_forward,
 )
+from ctc_tpu.ops.grad_tools import (
+    balance_labels,
+    block_gradient,
+    equalize_grad_norm,
+    verbose_gradients,
+)
 
 __all__ = [
     "NEG_SENTINEL",
@@ -17,4 +23,8 @@ __all__ = [
     "binary_ce_emissions",
     "noblank_lattice_nll",
     "noblank_lattice_forward",
+    "balance_labels",
+    "block_gradient",
+    "equalize_grad_norm",
+    "verbose_gradients",
 ]
