@@ -46,7 +46,16 @@ def main(argv=None):
 
     train_batches, val_batches = get_dataset(cfg)
 
-    model = LSTMHead(hidden=cfg.v_class, dropout_rate=cfg.dropout)
+    # head width follows the loss target space: verb-index lattices (33),
+    # multi-hot object paths/targets (38), or combined 157-class blank CTC
+    # (reference class-count flags, opts.py:59-62)
+    head_classes = {
+        "binary": cfg.o_class,
+        "bce": cfg.o_class,
+        "mlce": cfg.o_class,
+        "blank": cfg.c_class,
+    }.get(cfg.loss, cfg.v_class)
+    model = LSTMHead(hidden=head_classes, dropout_rate=cfg.dropout)
     trainer = Trainer(
         model,
         loss_kind=cfg.loss,

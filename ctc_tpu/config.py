@@ -71,7 +71,7 @@ class Config:
     model_parallel: int = 1
 
     # loss/kernel selection (new)
-    loss: str = "noblank"  # noblank | binary | blank
+    loss: str = "noblank"  # noblank | binary | blank | ce | bce | mlce
     lattice_impl: str | None = None  # xla | pallas | None(auto)
     dropout: float = 0.3
 

@@ -89,10 +89,28 @@ def torch_style_sgd(
     return optax.chain(*parts)
 
 
+def _final_step_loss(core):
+    """Adapt a final-timestep classification loss to the lattice-loss call
+    signature, for the CE-style prediction datasets (charades_ver3 and kin,
+    reference datasets/charades_ver3.py:516-526: the target is ONE future
+    o/v vector, not a lattice path)."""
+
+    def fn(logits, paths, input_lengths, target_lengths, implementation=None):
+        del input_lengths, target_lengths, implementation
+        return core(logits[-1], paths)
+
+    return fn
+
+
 _LOSS_FNS = {
     "noblank": losses.no_blank_ctc_loss,
     "binary": losses.no_blank_binary_ctc_loss,
     "blank": losses.ctc_loss,
+    # final-step classification (the reference's stock/custom losses,
+    # models/__init__.py:85-86 and CrossEntropy.py)
+    "ce": _final_step_loss(losses.cross_entropy),
+    "bce": _final_step_loss(losses.bce_with_logits),
+    "mlce": _final_step_loss(losses.multilabel_cross_entropy),
 }
 
 
