@@ -103,6 +103,22 @@ def main(argv=None):
                     metrics["video_mAP"] = out["mAP"]
         except Exception as e:
             print(f"video eval skipped: {e}")
+        # own-video qualitative predictions (the reference's my-dataset
+        # loader, datasets/__init__.py:22,42)
+        try:
+            my_mod = importlib.import_module(
+                f"ctc_tpu.data.loaders.{cfg.my_dataset}"
+            )
+            my_data, _ = my_mod.get(cfg)
+            if len(my_data["ids"]):
+                from ctc_tpu.eval.video import evaluate_own_video
+
+                out_csv = os.path.join(cfg.cache, "myvideo_predictions.csv")
+                evaluate_own_video(model, state, my_data, out_csv=out_csv)
+                print(f"own-video predictions: {len(my_data['ids'])} windows "
+                      f"-> {out_csv}")
+        except Exception as e:
+            print(f"own-video eval skipped: {e}")
         return metrics
 
     state, history = trainer.fit(

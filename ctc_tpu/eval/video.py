@@ -63,19 +63,12 @@ def video_relation_eval(video_o_scores: dict, video_v_scores: dict,
     return eval_visual_relation(prediction, gt_ov)
 
 
-def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
-                    num_verbs: int = 33):
-    """Run the LSTM head over val_video windows and compute verb mAP.
-
-    Args:
-      model/state: flax model + TrainState (eval mode, batch stats used).
-      data: a val_video ``prepare_windows`` dict with a ``features`` array
-        ``[N, T, F]`` attached under ``data['features']``.
-    """
+def score_windows(model, state, feats: np.ndarray,
+                  batch_size: int = 10) -> np.ndarray:
+    """Final-timestep class scores for ``[N, T, F]`` feature windows."""
     import jax
     import jax.numpy as jnp
 
-    feats = np.asarray(data["features"])
     n = feats.shape[0]
 
     @jax.jit
@@ -90,7 +83,49 @@ def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
     for i0 in range(0, n, batch_size):
         logits = forward(jnp.asarray(feats[i0 : i0 + batch_size]))
         window_scores.extend(np.asarray(logits[-1]))  # final timestep
+    return np.stack(window_scores)
+
+
+def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
+                    num_verbs: int = 33):
+    """Run the LSTM head over val_video windows and compute verb mAP.
+
+    Args:
+      model/state: flax model + TrainState (eval mode, batch stats used).
+      data: a val_video ``prepare_windows`` dict with a ``features`` array
+        ``[N, T, F]`` attached under ``data['features']``.
+    """
+    window_scores = score_windows(
+        model, state, np.asarray(data["features"]), batch_size
+    )
     video_scores = aggregate_video_scores(data["ids"], window_scores)
     m_ap, w_ap, per_class = video_verb_map(video_scores, gt_table, num_verbs)
     return {"mAP": float(m_ap), "video_scores": video_scores,
             "per_class_ap": per_class}
+
+
+def evaluate_own_video(model, state, data, *, out_csv: str | None = None,
+                       topk: int = 5, batch_size: int = 10):
+    """Qualitative own-video evaluation — the reference's my-dataset path
+    (main.py builds a ``myvideo_loader`` from ``--my-dataset``,
+    datasets/__init__.py:22,42, consumed by hand): final-timestep top-k class
+    predictions for every dense window, optionally dumped one row per window
+    to ``out_csv`` (video id, window index, top-k class indices).
+    """
+    import csv
+
+    scores = score_windows(
+        model, state, np.asarray(data["features"]), batch_size
+    )
+    top = np.argsort(-scores, axis=1)[:, :topk]
+    if out_csv:
+        with open(out_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(
+                ["id", "window"] + [f"top{k + 1}" for k in range(topk)]
+            )
+            window_of = defaultdict(int)
+            for i, vid in enumerate(data["ids"]):
+                writer.writerow([vid, window_of[vid]] + list(map(int, top[i])))
+                window_of[vid] += 1
+    return {"topk": top, "scores": scores}

@@ -117,3 +117,28 @@ def test_evaluate_videos_end_to_end(rng):
     )
     assert np.isfinite(out["mAP"])
     assert set(out["video_scores"]) == {"v0", "v1"}
+
+
+def test_evaluate_own_video_csv(tmp_path):
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.train import Trainer
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.eval.video import evaluate_own_video
+
+    (batch,) = synthetic_feature_batches(
+        num_batches=1, batch_size=6, temporal=6, feat_dim=32, num_classes=9
+    )
+    trainer = Trainer(LSTMHead(hidden=9), implementation="xla")
+    state = trainer.init_state(batch)
+
+    data = {"features": batch["feats"], "ids": ["YUME0"] * 4 + ["YUME1"] * 2}
+    out_csv = str(tmp_path / "preds.csv")
+    out = evaluate_own_video(
+        LSTMHead(hidden=9), state, data, out_csv=out_csv, topk=3
+    )
+    assert out["topk"].shape == (6, 3)
+    rows = open(out_csv).read().strip().splitlines()
+    assert rows[0] == "id,window,top1,top2,top3"
+    assert len(rows) == 7
+    # per-video window indices restart at 0
+    assert rows[1].startswith("YUME0,0,") and rows[5].startswith("YUME1,0,")
