@@ -68,6 +68,7 @@ def main(argv=None):
         seed=cfg.manual_seed,
         implementation=cfg.lattice_impl,
         ce_weight=(cfg.alpha if cfg.alpha != 1.0 else 0.0),
+        accum_grad=cfg.accum_grad,
     )
 
     state = trainer.init_state(train_batches[0])

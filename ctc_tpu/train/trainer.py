@@ -217,10 +217,22 @@ class Trainer:
         seed: int = 0,
         implementation=None,
         ce_weight: float = 0.0,
+        accum_grad: int = 1,
     ):
         self.model = model
-        self.schedule = step_decay_schedule(lr, lr_decay_epochs, steps_per_epoch)
+        # under accumulation the schedule count advances once per OPTIMIZER
+        # step (every accum_grad batches), so convert epochs accordingly
+        opt_steps_per_epoch = max(steps_per_epoch // max(accum_grad, 1), 1)
+        self.schedule = step_decay_schedule(lr, lr_decay_epochs,
+                                            opt_steps_per_epoch)
         self.tx = torch_style_adam(self.schedule, weight_decay)
+        if accum_grad > 1:
+            # gradient accumulation (reference --accum-grad, train.py:447-453):
+            # torch SUMS .grad across the k batches and steps on the k-th;
+            # use_grad_mean=False reproduces the sum exactly
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=accum_grad, use_grad_mean=False
+            )
         self.train_step = make_train_step(model, loss_kind, implementation,
                                           ce_weight)
         self.eval_step = make_eval_step(model, loss_kind, implementation)

@@ -68,3 +68,79 @@ def test_trainer_binary_loss_smoke():
     state = trainer.init_state(train[0])
     state, metrics = trainer.train_epoch(state, train, epoch=0)
     assert np.isfinite(metrics["loss"])
+
+
+def test_gradient_accumulation_torch_semantics():
+    """--accum-grad k: no optimizer step until the k-th batch, then one Adam
+    step on the SUM of the k gradients (reference train.py:444-453 torch
+    .grad accumulation semantics)."""
+    import flax
+    import jax
+
+    from ctc_tpu import losses
+    from ctc_tpu.train.trainer import torch_style_adam
+
+    train = synthetic_feature_batches(
+        num_batches=2, batch_size=4, temporal=6, feat_dim=16,
+        num_classes=7, seed=3,
+    )
+    model = LSTMHead(hidden=7, dropout_rate=0.0)
+    trainer = Trainer(
+        model, loss_kind="noblank", lr=1e-2, steps_per_epoch=len(train),
+        implementation="xla", accum_grad=2,
+    )
+    state0 = trainer.init_state(train[0])
+    rng = trainer.rng
+
+    state1, _ = trainer.train_step(state0, train[0], rng)
+    # mini-step 1 of 2: gradients accumulated, parameters untouched
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state1.params, state0.params,
+    )
+    state2, _ = trainer.train_step(state1, train[1], rng)
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state2.params, state0.params,
+    ))
+    assert max(moved) > 0.0
+
+    # manual: one torch-style Adam step on g1 + g2 (batch_stats evolve batchwise)
+    def loss_for(params, batch_stats, batch, step):
+        feats = jnp.transpose(batch["feats"], (1, 0, 2))
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(rng, step)},
+        )
+        loss = losses.no_blank_ctc_loss(
+            logits, batch["paths"], batch["input_lengths"],
+            batch["target_lengths"], implementation="xla",
+        )
+        return loss, mut["batch_stats"]
+
+    grad_fn = jax.grad(loss_for, has_aux=True)
+    g1, bs1 = grad_fn(state0.params, state0.batch_stats, train[0], 0)
+    g2, _ = grad_fn(state0.params, bs1, train[1], 1)
+    gsum = jax.tree.map(lambda a, b: a + b, g1, g2)
+
+    import optax
+
+    tx = torch_style_adam(trainer.schedule, 0.0)
+    updates, _ = tx.update(gsum, tx.init(state0.params), state0.params)
+    expected = optax.apply_updates(state0.params, updates)
+    # feature_head/proj/bias sits directly before BatchNorm, so its true
+    # gradient is mathematically zero; Adam turns that float noise into a
+    # ±lr step whose sign depends on XLA fusion — exclude the degenerate leaf
+    def drop_proj_bias(tree):
+        t = jax.tree.map(lambda x: x, tree)  # shallow copy
+        t["feature_head"]["proj"].pop("bias")
+        return t
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        drop_proj_bias(flax.core.unfreeze(state2.params)),
+        drop_proj_bias(flax.core.unfreeze(expected)),
+    )
