@@ -69,6 +69,9 @@ def main(argv=None):
         implementation=cfg.lattice_impl,
         ce_weight=(cfg.alpha if cfg.alpha != 1.0 else 0.0),
         accum_grad=cfg.accum_grad,
+        print_test_freq=cfg.print_test_freq,
+        train_size=cfg.train_size,
+        val_size=cfg.val_size,
     )
 
     state = trainer.init_state(train_batches[0])

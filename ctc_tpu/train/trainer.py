@@ -18,6 +18,7 @@ TPU-native redesign of the reference Trainer (/root/reference/train.py:339-620):
 from __future__ import annotations
 
 import csv
+import itertools
 import os
 import time
 from functools import partial
@@ -218,7 +219,12 @@ class Trainer:
         implementation=None,
         ce_weight: float = 0.0,
         accum_grad: int = 1,
+        print_test_freq: int | None = None,
+        train_size: float = 1.0,
+        val_size: float = 1.0,
     ):
+        if print_test_freq is None:
+            print_test_freq = print_freq
         self.model = model
         # under accumulation the schedule count advances once per OPTIMIZER
         # step (every accum_grad batches), so convert epochs accordingly
@@ -238,9 +244,22 @@ class Trainer:
         self.eval_step = make_eval_step(model, loss_kind, implementation)
         self.cache_dir = cache_dir
         self.print_freq = print_freq
+        self.print_test_freq = print_test_freq
+        # epoch subsampling fractions (reference --train-size/--val-size,
+        # train.py:363,508: itertools.islice(loader, int(len*size)))
+        self.train_size = train_size
+        self.val_size = val_size
         self.rng = jax.random.PRNGKey(seed)
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
+
+    @staticmethod
+    def _part(loader, size: float):
+        try:
+            n = len(loader)
+        except TypeError:
+            return loader
+        return itertools.islice(iter(loader), int(n * size))
 
     def init_state(self, example_batch) -> TrainState:
         feats = jnp.transpose(example_batch["feats"], (1, 0, 2))
@@ -265,7 +284,7 @@ class Trainer:
         dropout_rng = jax.random.fold_in(self.rng, epoch)
         log = self._csv_writer("train_log.csv")
         end = time.time()
-        for i, batch in enumerate(loader):
+        for i, batch in enumerate(self._part(loader, self.train_size)):
             state, metrics = self.train_step(state, batch, dropout_rng)
             n = batch["feats"].shape[0]
             meters["loss"].update(float(metrics["loss"]), n)
@@ -292,12 +311,12 @@ class Trainer:
     def validate(self, state: TrainState, loader, epoch: int):
         meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
         log = self._csv_writer("test_log.csv")
-        for i, batch in enumerate(loader):
+        for i, batch in enumerate(self._part(loader, self.val_size)):
             metrics = self.eval_step(state, batch)
             n = batch["feats"].shape[0]
             for k in meters:
                 meters[k].update(float(metrics[k]), n)
-            if log and i % self.print_freq == 0:
+            if log and i % self.print_test_freq == 0:
                 log[1].writerow(
                     [epoch, i, meters["loss"].val, meters["top1"].val,
                      meters["top5"].val]

@@ -144,3 +144,36 @@ def test_gradient_accumulation_torch_semantics():
         drop_proj_bias(flax.core.unfreeze(state2.params)),
         drop_proj_bias(flax.core.unfreeze(expected)),
     )
+
+
+def test_train_val_size_subsampling():
+    """--train-size/--val-size epoch subsampling (reference train.py:363,508:
+    islice to int(len*size); size > 1 caps at the full loader)."""
+
+    class Counting(list):
+        def __init__(self, batches):
+            super().__init__(batches)
+            self.consumed = 0
+
+        def __iter__(self):
+            def gen():
+                for b in super(Counting, self).__iter__():
+                    self.consumed += 1
+                    yield b
+            return gen()
+
+    batches = synthetic_feature_batches(
+        num_batches=4, batch_size=4, temporal=6, feat_dim=16,
+        num_classes=7, seed=0,
+    )
+    train = Counting(batches)
+    val = Counting(batches)
+    trainer = Trainer(
+        LSTMHead(hidden=7), loss_kind="noblank", implementation="xla",
+        train_size=0.5, val_size=2.0,
+    )
+    state = trainer.init_state(batches[0])
+    state, _ = trainer.train_epoch(state, train, epoch=0)
+    trainer.validate(state, val, epoch=0)
+    assert train.consumed == 2  # int(4 * 0.5)
+    assert val.consumed == 4    # islice caps at the full loader
