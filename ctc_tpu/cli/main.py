@@ -99,6 +99,16 @@ def main(argv=None):
                 from ctc_tpu.eval.video import evaluate_videos
 
                 data, gt_table = get_vv(cfg)
+                # a precomputed lookup pickle overrides the rebuilt table
+                # (reference --groundtruth-lookup, opts.py:19, ctc_exe.py:25)
+                if cfg.groundtruth_lookup and os.path.exists(
+                    cfg.groundtruth_lookup
+                ):
+                    from ctc_tpu.utils.groundtruth import load_groundtruth
+
+                    gt_table = load_groundtruth(cfg.groundtruth_lookup)
+                    print(f"groundtruth lookup: {cfg.groundtruth_lookup} "
+                          f"({len(gt_table)} videos)")
                 if len(data["ids"]):
                     out = evaluate_videos(
                         model, state, data, gt_table, num_verbs=cfg.v_class
