@@ -46,16 +46,7 @@ def main(argv=None):
 
     train_batches, val_batches = get_dataset(cfg)
 
-    # head width follows the loss target space: verb-index lattices (33),
-    # multi-hot object paths/targets (38), or combined 157-class blank CTC
-    # (reference class-count flags, opts.py:59-62)
-    head_classes = {
-        "binary": cfg.o_class,
-        "bce": cfg.o_class,
-        "mlce": cfg.o_class,
-        "blank": cfg.c_class,
-    }.get(cfg.loss, cfg.v_class)
-    model = LSTMHead(hidden=head_classes, dropout_rate=cfg.dropout)
+    model = LSTMHead(hidden=cfg.head_classes, dropout_rate=cfg.dropout)
     trainer = Trainer(
         model,
         loss_kind=cfg.loss,
@@ -109,9 +100,19 @@ def main(argv=None):
                     gt_table = load_groundtruth(cfg.groundtruth_lookup)
                     print(f"groundtruth lookup: {cfg.groundtruth_lookup} "
                           f"({len(gt_table)} videos)")
+                elif (cfg.groundtruth_lookup
+                      != config_lib.Config.groundtruth_lookup):
+                    # explicitly requested but missing: say so instead of
+                    # silently scoring against the rebuilt table
+                    print(f"WARNING: --groundtruth-lookup "
+                          f"{cfg.groundtruth_lookup} not found; using the "
+                          f"rebuilt gt table")
                 if len(data["ids"]):
                     out = evaluate_videos(
-                        model, state, data, gt_table, num_verbs=cfg.v_class
+                        model, state, data, gt_table,
+                        num_verbs=cfg.head_classes,
+                        # multi-hot heads predict objects: score gt column 1
+                        gt_col=(1 if cfg.head_is_object_space else 2),
                     )
                     print(f"video mAP: {out['mAP']:.4f}")
                     metrics["video_mAP"] = out["mAP"]

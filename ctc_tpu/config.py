@@ -85,6 +85,24 @@ class Config:
         os.makedirs(self.cache, exist_ok=True)
         return self
 
+    @property
+    def head_classes(self) -> int:
+        """Model head width for the selected loss target space: verb-index
+        lattices (33), multi-hot object paths/targets (38), or combined
+        157-class blank CTC (reference class-count flags, opts.py:59-62)."""
+        return {
+            "binary": self.o_class,
+            "bce": self.o_class,
+            "mlce": self.o_class,
+            "blank": self.c_class,
+        }.get(self.loss, self.v_class)
+
+    @property
+    def head_is_object_space(self) -> bool:
+        """True when the head predicts the 38-object space (multi-hot
+        losses); decides which gt-table column video eval scores against."""
+        return self.loss in ("binary", "bce", "mlce")
+
 
 def parse(argv=None) -> Config:
     """Parse CLI flags into a Config (same flag spelling as the reference)."""

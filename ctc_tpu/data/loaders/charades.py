@@ -6,20 +6,19 @@ whole-video label-interval series with *variable-length* multi-hot o/v paths
 paths to the longest in the batch and train with ``--loss binary``
 (multi-hot emissions); the per-sample true length rides in
 ``target_lengths`` exactly like the reference's ``meta`` lengths.
+
+Videos with fewer than two label timestamps would yield an EMPTY path
+(``time_length - 1 == 0``) — the reference never batches those (its default
+collate cannot stack variable lengths at all), so they are filtered out here
+rather than fabricating a zero-length lattice.
 """
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
-import jax
-
-from ctc_tpu.data import charades as charades_data
 from ctc_tpu.data.charades_variants import prepare_v1
-from ctc_tpu.data.features import extract_split_features
-from ctc_tpu.data.loading import host_shard_indices
+from ctc_tpu.data.loaders._common import filter_samples, split_batches
 
 
 def collate_v1(data: dict, indices, features: np.ndarray) -> dict:
@@ -49,34 +48,18 @@ def collate_v1(data: dict, indices, features: np.ndarray) -> dict:
 
 
 def get(cfg):
-    from ctc_tpu.data.loaders.charades_ctc_next_pred import _extractor
-
-    out = []
-    for split, csv_file in (("train", cfg.train_file), ("val", cfg.val_file)):
-        labels = charades_data.parse_charades_csv(csv_file)
-        frame_counts = {
-            vid: charades_data.count_frames(cfg.rgb_data, vid)
-            for vid in labels
-        }
+    def prepare(labels, frame_counts):
         data = prepare_v1(
             labels, frame_counts, cfg.temporal, cfg.gap, rgb_root=cfg.rgb_data
         )
-        n = len(data["ids"])
-        if n == 0:
-            out.append([])
-            continue
-        feats = extract_split_features(
-            data, _extractor(cfg),
-            os.path.join(cfg.cache, f"features_v1_{split}"),
-            gap=cfg.gap, inputsize=cfg.inputsize,
+        # drop single-timestamp videos (empty paths, see module docstring)
+        return filter_samples(
+            data, [i for i, t in enumerate(data["times"]) if int(t) >= 2]
         )
-        out.append([
-            collate_v1(data, idx, np.asarray(feats[idx]))
-            for idx in host_shard_indices(
-                n, cfg.batch_size,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-                shuffle=(split == "train"), seed=cfg.manual_seed,
-            )
-        ])
-    return out[0], out[1]
+
+    return tuple(
+        split_batches(cfg, split, csv_file, prepare, "features_v1",
+                      collate_v1)
+        for split, csv_file in
+        (("train", cfg.train_file), ("val", cfg.val_file))
+    )

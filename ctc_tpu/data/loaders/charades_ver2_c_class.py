@@ -8,16 +8,10 @@ SURVEY.md §2 #20).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
-import jax
-
-from ctc_tpu.data import charades
 from ctc_tpu.data.charades_variants import prepare_c_class
-from ctc_tpu.data.features import extract_split_features
-from ctc_tpu.data.loading import host_shard_indices
+from ctc_tpu.data.loaders._common import split_batches
 
 
 def collate_c_class(data: dict, indices, features: np.ndarray) -> dict:
@@ -38,34 +32,18 @@ def collate_c_class(data: dict, indices, features: np.ndarray) -> dict:
 
 
 def get(cfg):
-    from ctc_tpu.data.loaders.charades_ctc_next_pred import _extractor
-
-    out = []
-    for split, csv_file in (("train", cfg.train_file), ("val", cfg.val_file)):
-        labels = charades.parse_charades_csv(csv_file)
-        frame_counts = {
-            vid: charades.count_frames(cfg.rgb_data, vid) for vid in labels
-        }
-        data = prepare_c_class(
-            labels, frame_counts, split, cfg.temporal, cfg.gap,
-            rgb_root=cfg.rgb_data,
-        )
-        n = len(data["ids"])
-        if n == 0:
-            out.append([])
-            continue
-        feats = extract_split_features(
-            data, _extractor(cfg),
-            os.path.join(cfg.cache, f"features_cclass_{split}"),
-            gap=cfg.gap, inputsize=cfg.inputsize,
-        )
-        out.append([
-            collate_c_class(data, idx, np.asarray(feats[idx]))
-            for idx in host_shard_indices(
-                n, cfg.batch_size,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-                shuffle=(split == "train"), seed=cfg.manual_seed,
+    def prepare_for(split):
+        def prepare(labels, frame_counts):
+            return prepare_c_class(
+                labels, frame_counts, split, cfg.temporal, cfg.gap,
+                rgb_root=cfg.rgb_data,
             )
-        ])
-    return out[0], out[1]
+
+        return prepare
+
+    return tuple(
+        split_batches(cfg, split, csv_file, prepare_for(split),
+                      "features_cclass", collate_c_class)
+        for split, csv_file in
+        (("train", cfg.train_file), ("val", cfg.val_file))
+    )

@@ -9,16 +9,12 @@ objects), or ``--loss ce`` (the first future verb as a class index).
 
 from __future__ import annotations
 
-import os
+import functools
 
 import numpy as np
 
-import jax
-
-from ctc_tpu.data import charades as charades_data
 from ctc_tpu.data.charades_variants import prepare_ver3
-from ctc_tpu.data.features import extract_split_features
-from ctc_tpu.data.loading import host_shard_indices
+from ctc_tpu.data.loaders._common import split_batches
 
 
 def collate_ver3(data: dict, indices, features: np.ndarray, loss: str) -> dict:
@@ -43,35 +39,19 @@ def collate_ver3(data: dict, indices, features: np.ndarray, loss: str) -> dict:
 
 
 def get(cfg):
-    from ctc_tpu.data.loaders.charades_ctc_next_pred import _extractor
-
-    out = []
-    for split, csv_file in (("train", cfg.train_file), ("val", cfg.val_file)):
-        labels = charades_data.parse_charades_csv(csv_file)
-        frame_counts = {
-            vid: charades_data.count_frames(cfg.rgb_data, vid)
-            for vid in labels
-        }
-        data = prepare_ver3(
-            labels, frame_counts, split, cfg.temporal, cfg.gap, cfg.num_trans,
-            rgb_root=cfg.rgb_data,
-        )
-        n = len(data["ids"])
-        if n == 0:
-            out.append([])
-            continue
-        feats = extract_split_features(
-            data, _extractor(cfg),
-            os.path.join(cfg.cache, f"features_ver3_{split}"),
-            gap=cfg.gap, inputsize=cfg.inputsize,
-        )
-        out.append([
-            collate_ver3(data, idx, np.asarray(feats[idx]), cfg.loss)
-            for idx in host_shard_indices(
-                n, cfg.batch_size,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
-                shuffle=(split == "train"), seed=cfg.manual_seed,
+    def prepare_for(split):
+        def prepare(labels, frame_counts):
+            return prepare_ver3(
+                labels, frame_counts, split, cfg.temporal, cfg.gap,
+                cfg.num_trans, rgb_root=cfg.rgb_data,
             )
-        ])
-    return out[0], out[1]
+
+        return prepare
+
+    collate = functools.partial(collate_ver3, loss=cfg.loss)
+    return tuple(
+        split_batches(cfg, split, csv_file, prepare_for(split),
+                      "features_ver3", collate)
+        for split, csv_file in
+        (("train", cfg.train_file), ("val", cfg.val_file))
+    )

@@ -32,12 +32,7 @@ def _final_step_batches(batches, loss: str):
 
 
 def get(cfg):
-    num_classes = {
-        "binary": cfg.o_class,
-        "bce": cfg.o_class,
-        "mlce": cfg.o_class,
-        "blank": cfg.c_class,
-    }.get(cfg.loss, cfg.v_class)
+    num_classes = cfg.head_classes
     common = dict(
         batch_size=cfg.batch_size,
         temporal=max(cfg.temporal, 2),

@@ -27,12 +27,15 @@ def aggregate_video_scores(ids, window_scores) -> dict:
     return {vid: np.mean(rows, axis=0) for vid, rows in buckets.items()}
 
 
-def video_verb_map(video_scores: dict, gt_table: dict, num_verbs: int):
-    """Charades mAP over future verbs.
+def video_verb_map(video_scores: dict, gt_table: dict, num_verbs: int,
+                   gt_col: int = 2):
+    """Charades mAP over future verbs (or objects, for multi-hot heads).
 
     Args:
       video_scores: ``{vid: [num_verbs] scores}``.
       gt_table: ``{vid: [[s, o, v], ...]}`` (prepare_windows val_video output).
+      gt_col: which gt-triplet column the scores live in — 2 (verb, default)
+        for verb-index heads, 1 (object) for the 38-object multi-hot heads.
 
     Returns ``(mAP, weighted_ap, per_class_ap)``.
     """
@@ -40,8 +43,8 @@ def video_verb_map(video_scores: dict, gt_table: dict, num_verbs: int):
     scores = np.stack([video_scores[v] for v in vids])
     gt = np.zeros((len(vids), num_verbs), np.int64)
     for i, vid in enumerate(vids):
-        for _, _, verb in gt_table[vid]:
-            gt[i, verb] = 1
+        for row in gt_table[vid]:
+            gt[i, row[gt_col]] = 1
     return charades_map(scores, gt)
 
 
@@ -87,7 +90,7 @@ def score_windows(model, state, feats: np.ndarray,
 
 
 def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
-                    num_verbs: int = 33):
+                    num_verbs: int = 33, gt_col: int = 2):
     """Run the LSTM head over val_video windows and compute verb mAP.
 
     Args:
@@ -99,7 +102,9 @@ def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
         model, state, np.asarray(data["features"]), batch_size
     )
     video_scores = aggregate_video_scores(data["ids"], window_scores)
-    m_ap, w_ap, per_class = video_verb_map(video_scores, gt_table, num_verbs)
+    m_ap, w_ap, per_class = video_verb_map(
+        video_scores, gt_table, num_verbs, gt_col
+    )
     return {"mAP": float(m_ap), "video_scores": video_scores,
             "per_class_ap": per_class}
 

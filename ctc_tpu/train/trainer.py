@@ -226,9 +226,12 @@ class Trainer:
         if print_test_freq is None:
             print_test_freq = print_freq
         self.model = model
-        # under accumulation the schedule count advances once per OPTIMIZER
-        # step (every accum_grad batches), so convert epochs accordingly
-        opt_steps_per_epoch = max(steps_per_epoch // max(accum_grad, 1), 1)
+        # the schedule count advances once per OPTIMIZER step: subsampling
+        # (--train-size < 1) shortens the epoch, and accumulation steps only
+        # every accum_grad batches — fold both in so LR decay stays epoch-based
+        # like the reference's adjust_learning_rate (train.py:34-38)
+        effective_steps = max(int(steps_per_epoch * min(train_size, 1.0)), 1)
+        opt_steps_per_epoch = max(effective_steps // max(accum_grad, 1), 1)
         self.schedule = step_decay_schedule(lr, lr_decay_epochs,
                                             opt_steps_per_epoch)
         self.tx = torch_style_adam(self.schedule, weight_decay)

@@ -175,3 +175,81 @@ def test_myvideo_c_class_parity(dataset):
         rgb_root=dataset["rgb"],
     )
     _cmp(ref.data, got, ["s_targets", "c_targets"])
+
+
+def _assert_batches_equal(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+        )
+
+
+def test_collates_golden_vs_reference_fields(dataset):
+    """Batch collates fed the GENUINE reference prepare() fields produce
+    byte-identical batches to ours — grounding the batch-level rules
+    (−1→0 clamp, length selection, future-step choice) in reference data.
+    (The reference itself never default-collates these variants: torch's
+    collate cannot stack v1's variable-length paths, so batch assembly is
+    necessarily new surface; this pins it to reference per-sample fields.)"""
+    from ctc_tpu.data.loaders._common import filter_samples
+    from ctc_tpu.data.loaders.charades import collate_v1
+    from ctc_tpu.data.loaders.charades_ver2 import collate_ver2
+    from ctc_tpu.data.loaders.charades_ver2_c_class import collate_c_class
+    from ctc_tpu.data.loaders.charades_ver3 import collate_ver3
+
+    # ver2: fixed-size multi-hot o paths
+    ref = _run_reference("charades_ver2", dataset)
+    got = ours.prepare_ver2(
+        dataset["labels"], dataset["frame_counts"], TEMPORAL, GAP, NUM_TRANS,
+        rgb_root=dataset["rgb"],
+    )
+    n = len(got["ids"])
+    feats = np.zeros((n, TEMPORAL, 4), np.float32)
+    _assert_batches_equal(
+        collate_ver2(ref.data, range(n), feats),
+        collate_ver2(got, range(n), feats),
+    )
+
+    # ver3: final-step ce and bce targets
+    ref3 = _run_reference("charades_ver3", dataset)
+    got3 = ours.prepare_ver3(
+        dataset["labels"], dataset["frame_counts"], "train", TEMPORAL, GAP,
+        NUM_TRANS, rgb_root=dataset["rgb"],
+    )
+    n3 = len(got3["ids"])
+    feats3 = np.zeros((n3, TEMPORAL, 4), np.float32)
+    for loss in ("ce", "bce"):
+        _assert_batches_equal(
+            collate_ver3(ref3.data, range(n3), feats3, loss),
+            collate_ver3(got3, range(n3), feats3, loss),
+        )
+
+    # c_class: 157-class index paths
+    refc = _run_reference("charades_ver2_c_class", dataset)
+    gotc = ours.prepare_c_class(
+        dataset["labels"], dataset["frame_counts"], "train", TEMPORAL, GAP,
+        rgb_root=dataset["rgb"],
+    )
+    nc = len(gotc["ids"])
+    featsc = np.zeros((nc, TEMPORAL, 4), np.float32)
+    _assert_batches_equal(
+        collate_c_class(refc.data, range(nc), featsc),
+        collate_c_class(gotc, range(nc), featsc),
+    )
+
+    # v1: variable-length paths, single-timestamp videos filtered identically
+    ref1 = _run_reference("charades", dataset)
+    got1 = ours.prepare_v1(
+        dataset["labels"], dataset["frame_counts"], TEMPORAL, GAP,
+        rgb_root=dataset["rgb"],
+    )
+    keep = [i for i, t in enumerate(got1["times"]) if int(t) >= 2]
+    ref1_f = filter_samples({k: list(v) for k, v in ref1.data.items()}, keep)
+    got1_f = filter_samples(got1, keep)
+    n1 = len(got1_f["ids"])
+    feats1 = np.zeros((n1, TEMPORAL, 4), np.float32)
+    _assert_batches_equal(
+        collate_v1(ref1_f, range(n1), feats1),
+        collate_v1(got1_f, range(n1), feats1),
+    )

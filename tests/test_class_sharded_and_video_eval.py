@@ -142,3 +142,14 @@ def test_evaluate_own_video_csv(tmp_path):
     assert len(rows) == 7
     # per-video window indices restart at 0
     assert rows[1].startswith("YUME0,0,") and rows[5].startswith("YUME1,0,")
+
+
+def test_video_map_object_column():
+    """gt_col=1 scores the object column — the path CLI uses for multi-hot
+    (o_class-wide) heads, where verb indices would be the wrong space."""
+    from ctc_tpu.eval.video import video_verb_map
+
+    scores = {"v0": np.eye(38)[4], "v1": np.eye(38)[7]}
+    gt = {"v0": [[0, 4, 30]], "v1": [[0, 7, 31]]}
+    m_ap, _, _ = video_verb_map(scores, gt, num_verbs=38, gt_col=1)
+    assert m_ap == 1.0
