@@ -46,7 +46,16 @@ def main(argv=None):
 
     train_batches, val_batches = get_dataset(cfg)
 
-    model = LSTMHead(hidden=cfg.head_classes, dropout_rate=cfg.dropout)
+    pixels = cfg.dataset.endswith("_pixels")
+    if pixels:
+        from ctc_tpu.models.i3d_lstm import I3DLSTM
+
+        model = I3DLSTM(
+            hidden=cfg.head_classes, dropout_rate=cfg.dropout,
+            freeze_backbone=not cfg.finetune_i3d,
+        )
+    else:
+        model = LSTMHead(hidden=cfg.head_classes, dropout_rate=cfg.dropout)
     trainer = Trainer(
         model,
         loss_kind=cfg.loss,
@@ -63,9 +72,29 @@ def main(argv=None):
         print_test_freq=cfg.print_test_freq,
         train_size=cfg.train_size,
         val_size=cfg.val_size,
+        i3d_optimizer=(
+            {"lr": cfg.lr, "momentum": cfg.momentum,
+             "weight_decay": cfg.weight_decay,
+             "finetune": cfg.finetune_i3d}
+            if pixels else None
+        ),
     )
 
     state = trainer.init_state(train_batches[0])
+    if pixels and cfg.rgb_pretrained_weights:
+        import torch
+
+        from ctc_tpu.models.i3d import convert_torch_state_dict
+
+        conv = convert_torch_state_dict(
+            torch.load(cfg.rgb_pretrained_weights, map_location="cpu")
+        )
+        params = dict(state.params)
+        params["i3d"] = conv["params"]
+        stats = dict(state.batch_stats)
+        stats["i3d"] = conv["batch_stats"]
+        state = state.replace(params=params, batch_stats=stats)
+        print("loaded pretrained I3D backbone")
     start_epoch = cfg.start_epoch
     if cfg.resume:
         from ctc_tpu.train import checkpoints as ckpt

@@ -74,6 +74,9 @@ class Config:
     loss: str = "noblank"  # noblank | binary | blank | ce | bce | mlce
     lattice_impl: str | None = None  # xla | pallas | None(auto)
     dropout: float = 0.3
+    # end-to-end pixels mode (I3DLSTM; *_pixels datasets): unfreeze the I3D
+    # and step it with SGD like the reference's second optimizer
+    finetune_i3d: bool = False
 
     # derived (finalize())
     cache: str = ""

@@ -3,6 +3,7 @@ ST-graph energy model."""
 
 from ctc_tpu.models.lstm import FeatureHead, LSTMHead, TemporalBatchNorm
 from ctc_tpu.models.i3d import InceptionI3d, Unit3D, InceptionModule, convert_torch_state_dict
+from ctc_tpu.models.i3d_lstm import I3DLSTM
 from ctc_tpu.models.stgraph import (
     STGraphBase,
     STGraphCriterion,
@@ -19,6 +20,7 @@ __all__ = [
     "Unit3D",
     "InceptionModule",
     "convert_torch_state_dict",
+    "I3DLSTM",
     "STGraphBase",
     "STGraphCriterion",
     "MessageStore",

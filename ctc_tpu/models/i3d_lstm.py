@@ -1,0 +1,49 @@
+"""End-to-end pixels model: InceptionI3d clip features -> LSTM head logits.
+
+The reference's full two-model pipeline in one flax module
+(/root/reference/train.py:410-417: ``feat = base_model(input)`` then
+``v_output = logits_model(feat, h, c)``), jitted as ONE XLA program so the
+I3D convolutions, the scanned LSTM, and the CTC lattice fuse into a single
+device computation — no per-model host round trips.
+
+``freeze_backbone=True`` reproduces the reference's live behavior (the I3D
+optimizer step is disabled at train.py:448-451): a ``stop_gradient`` after
+the features means backward never traverses the convolutions at all — the
+TPU-first version of "compute grads, then throw them away".
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ctc_tpu.models.i3d import InceptionI3d
+from ctc_tpu.models.lstm import LSTMHead
+
+
+class I3DLSTM(nn.Module):
+    """``[B, T, stack, h, w, 3]`` clips -> ``[T, B, hidden]`` logits."""
+
+    hidden: int = 33
+    dropout_rate: float = 0.3
+    freeze_backbone: bool = True
+    i3d_dtype: Any = None  # conv compute dtype (e.g. jnp.bfloat16)
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, clips: jnp.ndarray, *, train: bool = False):
+        feats = InceptionI3d(dtype=self.i3d_dtype, name="i3d")(
+            clips, train=(train and not self.freeze_backbone)
+        )  # [B, T, 1024]
+        if self.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        feats = jnp.transpose(feats, (1, 0, 2))  # [T, B, F]
+        return LSTMHead(
+            hidden=self.hidden,
+            dropout_rate=self.dropout_rate,
+            bn_axis_name=self.bn_axis_name,
+            name="head",
+        )(feats, train=train)

@@ -90,6 +90,13 @@ def torch_style_sgd(
     return optax.chain(*parts)
 
 
+def _model_input(x):
+    """Batch-major features ``[B, T, F]`` go to the time-major ``[T, B, F]``
+    the LSTM head scans; higher-rank pixel clips ``[B, T, stack, h, w, 3]``
+    pass through batch-major (I3DLSTM handles its own layout)."""
+    return jnp.transpose(x, (1, 0, 2)) if x.ndim == 3 else x
+
+
 def _final_step_loss(core):
     """Adapt a final-timestep classification loss to the lattice-loss call
     signature, for the CE-style prediction datasets (charades_ver3 and kin,
@@ -133,7 +140,7 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
 
     @jax.jit
     def train_step(state: TrainState, batch, dropout_rng):
-        feats = jnp.transpose(batch["feats"], (1, 0, 2))  # [T, B, F]
+        feats = _model_input(batch["feats"])
         rng = jax.random.fold_in(dropout_rng, state.step)
 
         def loss_of(params):
@@ -176,7 +183,7 @@ def make_eval_step(model, loss_kind: str = "noblank", implementation=None):
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        feats = jnp.transpose(batch["feats"], (1, 0, 2))
+        feats = _model_input(batch["feats"])
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             feats,
@@ -222,6 +229,7 @@ class Trainer:
         print_test_freq: int | None = None,
         train_size: float = 1.0,
         val_size: float = 1.0,
+        i3d_optimizer: dict | None = None,
     ):
         if print_test_freq is None:
             print_test_freq = print_freq
@@ -235,6 +243,35 @@ class Trainer:
         self.schedule = step_decay_schedule(lr, lr_decay_epochs,
                                             opt_steps_per_epoch)
         self.tx = torch_style_adam(self.schedule, weight_decay)
+        if i3d_optimizer is not None:
+            # end-to-end pixels mode (I3DLSTM): Adam on the head, SGD on the
+            # 'i3d' param subtree — the reference's two-optimizer factory
+            # (models/__init__.py:46,69).  finetune=False = the live frozen
+            # path (train.py:448-451): zero updates for the backbone.
+            if i3d_optimizer.get("finetune", False):
+                i3d_tx = torch_style_sgd(
+                    step_decay_schedule(
+                        i3d_optimizer.get("lr", lr), lr_decay_epochs,
+                        opt_steps_per_epoch,
+                    ),
+                    momentum=i3d_optimizer.get("momentum", 0.9),
+                    weight_decay=i3d_optimizer.get("weight_decay",
+                                                   weight_decay),
+                )
+            else:
+                i3d_tx = optax.set_to_zero()
+
+            def label_fn(params):
+                return {
+                    k: jax.tree.map(
+                        lambda _: "i3d" if k == "i3d" else "head", v
+                    )
+                    for k, v in params.items()
+                }
+
+            self.tx = optax.multi_transform(
+                {"head": self.tx, "i3d": i3d_tx}, label_fn
+            )
         if accum_grad > 1:
             # gradient accumulation (reference --accum-grad, train.py:447-453):
             # torch SUMS .grad across the k batches and steps on the k-th;
@@ -265,7 +302,7 @@ class Trainer:
         return itertools.islice(iter(loader), int(n * size))
 
     def init_state(self, example_batch) -> TrainState:
-        feats = jnp.transpose(example_batch["feats"], (1, 0, 2))
+        feats = _model_input(jnp.asarray(example_batch["feats"]))
         params_rng, dropout_rng, self.rng = jax.random.split(self.rng, 3)
         variables = self.model.init(
             {"params": params_rng, "dropout": dropout_rng}, feats, train=True

@@ -1,0 +1,59 @@
+"""End-to-end pixels model (I3DLSTM) + dual-optimizer training step."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ctc_tpu.models import I3DLSTM
+from ctc_tpu.train import Trainer
+
+
+def _pixel_batch(rng, batch=1, temporal=2, hidden=5):
+    clips = rng.standard_normal(
+        (batch, temporal, 10, 224, 224, 3)
+    ).astype(np.float32)
+    return {
+        "feats": clips,
+        "paths": np.tile(np.arange(temporal, dtype=np.int32), (batch, 1)),
+        "input_lengths": np.full((batch,), temporal, np.int64),
+        "target_lengths": np.full((batch,), temporal, np.int64),
+        "future_target": np.zeros((batch,), np.int32),
+    }
+
+
+def _max_delta(a, b):
+    return max(jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()), a, b
+    )))
+
+
+@pytest.mark.slow
+def test_frozen_backbone_trains_head_only(rng):
+    batch = _pixel_batch(rng)
+    trainer = Trainer(
+        I3DLSTM(hidden=5, freeze_backbone=True), loss_kind="noblank",
+        implementation="xla", i3d_optimizer={"finetune": False},
+    )
+    state0 = trainer.init_state(batch)
+    state1, metrics = trainer.train_step(state0, batch, trainer.rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert _max_delta(state1.params["i3d"], state0.params["i3d"]) == 0.0
+    assert _max_delta(state1.params["head"], state0.params["head"]) > 0.0
+
+
+@pytest.mark.slow
+def test_finetune_updates_backbone(rng):
+    # batch >= 2: with batch 1 the head's BatchNorm normalizes every sample
+    # to its own mean, so no gradient flows into the backbone at all
+    batch = _pixel_batch(rng, batch=2)
+    trainer = Trainer(
+        I3DLSTM(hidden=5, freeze_backbone=False), loss_kind="noblank",
+        implementation="xla",
+        i3d_optimizer={"finetune": True, "lr": 1e-2, "momentum": 0.9},
+    )
+    state0 = trainer.init_state(batch)
+    state1, metrics = trainer.train_step(state0, batch, trainer.rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert _max_delta(state1.params["i3d"], state0.params["i3d"]) > 0.0
+    assert _max_delta(state1.params["head"], state0.params["head"]) > 0.0
