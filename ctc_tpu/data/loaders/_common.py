@@ -55,17 +55,53 @@ def split_features(cfg, data, cache_key: str, split: str) -> np.ndarray:
     )
 
 
+def _index_batches(cfg, n: int, split: str) -> list:
+    return host_shard_indices(
+        n, cfg.batch_size,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        shuffle=(split == "train"), seed=cfg.manual_seed,
+    )
+
+
 def shard_and_collate(cfg, data, feats, split: str, collate) -> list:
-    n = len(data["ids"])
     return [
         collate(data, idx, np.asarray(feats[idx]))
-        for idx in host_shard_indices(
-            n, cfg.batch_size,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-            shuffle=(split == "train"), seed=cfg.manual_seed,
-        )
+        for idx in _index_batches(cfg, len(data["ids"]), split)
     ]
+
+
+class LazyBatches:
+    """List-like of batches collated on access.
+
+    The TPU-native replacement for the reference's DataLoader worker pool
+    (datasets/__init__.py:28-42) on the raw-pixels path: a materialized list
+    of clip batches would not fit host RAM at dataset scale, so collation
+    (JPEG decode + preprocess) happens per batch, and iteration overlaps it
+    with device steps via a background-thread :class:`Prefetcher`.
+    """
+
+    def __init__(self, data, feats, index_batches, collate, *,
+                 prefetch_depth: int = 2):
+        self._data = data
+        self._feats = feats
+        self._index_batches = index_batches
+        self._collate = collate
+        self._depth = prefetch_depth
+
+    def __len__(self):
+        return len(self._index_batches)
+
+    def __getitem__(self, i):
+        idx = self._index_batches[i]
+        return self._collate(self._data, idx, self._feats[idx])
+
+    def __iter__(self):
+        from ctc_tpu.data.loading import Prefetcher
+
+        return iter(Prefetcher(
+            lambda: (self[i] for i in range(len(self))), depth=self._depth
+        ))
 
 
 def split_batches(cfg, split: str, csv_file, prepare, cache_key: str,

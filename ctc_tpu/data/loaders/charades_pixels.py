@@ -13,7 +13,7 @@ import numpy as np
 
 from ctc_tpu.data import charades
 from ctc_tpu.data.frames import load_window
-from ctc_tpu.data.loaders._common import shard_and_collate
+from ctc_tpu.data.loaders._common import LazyBatches, _index_batches
 from ctc_tpu.data.loading import collate_binary_ctc, collate_verb_ctc
 
 
@@ -56,5 +56,9 @@ def get(cfg):
         if len(data["ids"]) == 0:
             out.append([])
             continue
-        out.append(shard_and_collate(cfg, data, _NoFeatures(), split, collate))
+        # lazy: clip batches decode on access + prefetch ahead of the device
+        out.append(LazyBatches(
+            data, _NoFeatures(),
+            _index_batches(cfg, len(data["ids"]), split), collate,
+        ))
     return out[0], out[1]

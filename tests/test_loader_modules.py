@@ -180,3 +180,28 @@ def test_cli_head_width_follows_loss(tmp_path):
     ])
     assert len(history) == 1
     assert np.isfinite(history[0]["train"]["loss"])
+
+
+def test_lazy_batches_collate_on_access_and_prefetch_iter():
+    from ctc_tpu.data.loaders._common import LazyBatches
+
+    calls = []
+
+    def collate(data, idx, feats):
+        calls.append(list(idx))
+        return {"feats": np.zeros((len(list(idx)), 2, 3), np.float32)}
+
+    class NoFeats:
+        def __getitem__(self, idx):
+            return None
+
+    lazy = LazyBatches({"ids": list(range(6))}, NoFeats(),
+                       [[0, 1], [2, 3], [4, 5]], collate)
+    assert len(lazy) == 3
+    assert calls == []            # nothing collated eagerly
+    b = lazy[1]
+    assert calls == [[2, 3]]      # only the accessed batch
+    assert b["feats"].shape == (2, 2, 3)
+    got = [batch["feats"].shape[0] for batch in lazy]  # prefetching iterator
+    assert got == [2, 2, 2]
+    assert len(calls) == 4
