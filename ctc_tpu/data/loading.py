@@ -87,6 +87,41 @@ def host_shard_indices(
     return batches
 
 
+def device_prefetch(batches: Iterable, depth: int = 2) -> Iterator:
+    """Host->device transfer pipeline: enqueue ``jax.device_put`` of batches
+    i+1..i+depth while step i computes.  Yields batches in order, already
+    device-resident.
+
+    Worthwhile on runtimes with async PCIe-attached transfers (the feature
+    train step is heavily transfer-bound: 6.3 ms with per-step host batches
+    vs 0.1 ms device-resident at B=256).  On tunneled/remote backends where
+    ``device_put`` is a synchronous RPC it measures neutral (6.97 -> 7.46
+    ms/step on this axon backend), so the Trainer does not apply it by
+    default — wrap your loader with it explicitly where it helps.
+    """
+    import collections
+
+    import jax
+
+    it = iter(batches)
+    buf: collections.deque = collections.deque()
+
+    def push():
+        try:
+            buf.append(jax.device_put(next(it)))
+        except StopIteration:
+            return False
+        return True
+
+    for _ in range(depth):
+        if not push():
+            break
+    while buf:
+        out = buf.popleft()
+        push()
+        yield out
+
+
 class Prefetcher:
     """Background-thread prefetch of an iterable of batches (depth-bounded)."""
 

@@ -114,3 +114,12 @@ def test_windowed_charades_trains(rng):
         state, metrics = trainer.train_epoch(state, batches, epoch)
         losses.append(metrics["loss"])
     assert losses[-1] < losses[0], losses
+
+
+def test_device_prefetch_preserves_order_and_values():
+    from ctc_tpu.data.loading import device_prefetch
+
+    batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(batches, depth=2))
+    assert [int(np.asarray(b["x"])[0]) for b in out] == list(range(5))
+    assert list(device_prefetch([], depth=2)) == []
