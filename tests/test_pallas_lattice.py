@@ -43,6 +43,33 @@ def test_pallas_matches_xla(rng, T, B, L):
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "tiles", [(8, 8), (16, 16), (32, 8)], ids=["8x8", "16x16", "32x8"]
+)
+def test_pallas_chunked_grid_matches_xla(rng, tiles):
+    """Force the multi-chunk carry path (several time chunks per batch tile,
+    batch tile wider than B, T not a chunk multiple)."""
+    T, B, L = 28, 5, 21  # t_pad/chunk > 1, batch and L all need padding
+    em, in_len, tgt_len = _case(rng, T, B, L)
+    cot = jnp.asarray(rng.standard_normal(B).astype(np.float32))
+
+    def via_xla(e):
+        return jnp.sum(lattice_xla.noblank_lattice_nll(e, in_len, tgt_len) * cot)
+
+    def via_pallas(e):
+        return jnp.sum(
+            noblank_lattice_nll_pallas(
+                e, in_len, tgt_len, interpret=True, tiles=tiles
+            )
+            * cot
+        )
+
+    v_x, g_x = jax.value_and_grad(via_xla)(em)
+    v_p, g_p = jax.value_and_grad(via_pallas)(em)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-5)
+
+
 def test_pallas_degenerate_lengths(rng):
     em, in_len, tgt_len = _case(rng, 24, 4, 12, degenerate=True)
     in_len = in_len.at[1].set(3)  # target_length may exceed input_length
