@@ -39,6 +39,11 @@ from ctc_tpu.ops.logspace import NEG_SENTINEL
 
 _B_TILE = 8
 _LANE = 128
+# batch tiles are independent -> 'parallel' lets Mosaic split them across
+# TensorCores on megacore chips; time chunks carry scratch -> 'arbitrary'.
+_GRID_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary")
+)
 # VMEM budget per kernel: in/out [chunk, tile, L] blocks are double-buffered
 # by the pipeline (4 live blocks) plus the (tile, L) carry scratch; keep the
 # total under ~14MB (the remote compiler rejects kernels above that).
@@ -71,10 +76,24 @@ def _choose_tiles(max_t: int, l_pad: int) -> tuple[int, int]:
     return _B_TILE, min(8, _round_up(max_t, 8))
 
 
+def _widen(x, l_pad):
+    """Zero-pad the lane axis of a (tile_b, w) slab up to l_pad (in-VMEM)."""
+    w = x.shape[-1]
+    if w == l_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, l_pad - w)), constant_values=0.0)
+
+
 def _forward_kernel(em_ref, outside_ref, alpha_out_ref, carry_ref):
-    """alpha recursion for one (chunk, tile, L) block; carry across chunks."""
+    """alpha recursion for one (chunk, tile, L) block; carry across chunks.
+
+    The emission block's lane width may be unaligned (the raw max_l): it is
+    widened to the compute width in VMEM per step, so the caller never pays
+    an HBM pad copy.  alpha (the backward residual) stays lane-aligned.
+    """
     chunk = em_ref.shape[0]
-    tile = em_ref.shape[1:]  # (tile_b, L)
+    tile = alpha_out_ref.shape[1:]  # (tile_b, l_pad) — the compute width
+    l_pad = tile[1]
     outside = outside_ref[:] > 0.5
     lane0 = _lane_index(tile) == 0
     pid_t = pl.program_id(1)
@@ -94,7 +113,7 @@ def _forward_kernel(em_ref, outside_ref, alpha_out_ref, carry_ref):
         shifted = jnp.where(t > 0, shifted, NEG_SENTINEL)
         lse = jnp.logaddexp(alpha, shifted)
         lse = jnp.where(outside, NEG_SENTINEL, lse)
-        alpha = lse + em_ref[i]
+        alpha = lse + _widen(em_ref[i], l_pad)
         alpha_out_ref[i] = alpha
         return alpha
 
@@ -107,9 +126,13 @@ def _backward_kernel(
     """Reverse posterior recursion; emits g = d(nll)/d(emissions).
 
     Time chunks are visited in reverse (the index maps flip the t grid
-    axis); the g carry persists in scratch across chunks.
+    axis); the g carry persists in scratch across chunks.  The g output
+    block's lane width may be unaligned (raw max_l): the carry/compute run
+    at the aligned width and each step stores the narrowed slab, so the
+    caller never pays an HBM slice copy.
     """
     chunk = alpha_ref.shape[0]
+    l_out = g_out_ref.shape[-1]
     tile = alpha_ref.shape[1:]
     n_t = pl.num_programs(1)
     pid_t = pl.program_id(1)
@@ -148,7 +171,7 @@ def _backward_kernel(
 
         prop = jnp.where(t < max_t - 1, with_prop(), 0.0)
         g_t = inject_t + prop
-        g_out_ref[ti] = g_t
+        g_out_ref[ti] = g_t[:, :l_out]
         return g_t
 
     carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:])
@@ -165,8 +188,14 @@ def _pad_tbl(x, t_pad, b_pad, l_pad, fill):
 
 @functools.partial(jax.jit, static_argnames=("tile", "chunk", "interpret"))
 def _forward_padded(em_p, outside_p, *, tile, chunk, interpret=False):
-    t_pad, b_pad, l_pad = em_p.shape
+    """em_p is [t_pad, b_pad, max_l] — lane axis may be unaligned; alpha out
+    is lane-aligned at outside_p's width."""
+    t_pad, b_pad, max_l = em_p.shape
+    l_pad = outside_p.shape[-1]
     grid = (b_pad // tile, t_pad // chunk)
+    em_spec = pl.BlockSpec(
+        (chunk, tile, max_l), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
     tbl_spec = pl.BlockSpec(
         (chunk, tile, l_pad), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
     )
@@ -177,16 +206,21 @@ def _forward_padded(em_p, outside_p, *, tile, chunk, interpret=False):
         _forward_kernel,
         out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, l_pad), em_p.dtype),
         grid=grid,
-        in_specs=[tbl_spec, row_spec],
+        in_specs=[em_spec, row_spec],
         out_specs=tbl_spec,
         scratch_shapes=[pltpu.VMEM((tile, l_pad), em_p.dtype)],
+        compiler_params=None if interpret else _GRID_SEMANTICS,
         interpret=interpret,
     )(em_p, outside_p)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "chunk", "interpret"))
-def _backward_padded(alpha_p, inject_row_p, inlen_p, inside_p, *, tile, chunk,
-                     interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("max_l", "tile", "chunk", "interpret")
+)
+def _backward_padded(alpha_p, inject_row_p, inlen_p, inside_p, *, max_l, tile,
+                     chunk, interpret=False):
+    """alpha_p is lane-aligned; the g output is [t_pad, b_pad, max_l] with a
+    possibly-unaligned lane axis (stored narrowed in-kernel)."""
     t_pad, b_pad, l_pad = alpha_p.shape
     n_t = t_pad // chunk
     grid = (b_pad // tile, n_t)
@@ -196,16 +230,22 @@ def _backward_padded(alpha_p, inject_row_p, inlen_p, inside_p, *, tile, chunk,
         lambda i, j: (n_t - 1 - j, i, 0),
         memory_space=pltpu.VMEM,
     )
+    rev_out_spec = pl.BlockSpec(
+        (chunk, tile, max_l),
+        lambda i, j: (n_t - 1 - j, i, 0),
+        memory_space=pltpu.VMEM,
+    )
     row_spec = pl.BlockSpec(
         (tile, l_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         _backward_kernel,
-        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, l_pad), alpha_p.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, max_l), alpha_p.dtype),
         grid=grid,
         in_specs=[rev_tbl_spec, row_spec, row_spec, row_spec],
-        out_specs=rev_tbl_spec,
+        out_specs=rev_out_spec,
         scratch_shapes=[pltpu.VMEM((tile, l_pad), alpha_p.dtype)],
+        compiler_params=None if interpret else _GRID_SEMANTICS,
         interpret=interpret,
     )(alpha_p, inject_row_p, inlen_p, inside_p)
 
@@ -237,7 +277,9 @@ def _run_forward(emissions, input_lengths, target_lengths, interpret,
     tile, chunk = _tiles_for(max_t, l_pad, interpret, tiles)
     t_pad = _round_up(max_t, chunk)
     b_pad = _round_up(batch, tile)
-    em_p = _pad_tbl(emissions, t_pad, b_pad, l_pad, 0.0)
+    # L stays unpadded — the kernel widens lanes in VMEM (no HBM pad copy);
+    # T/B pads are no-ops when already aligned.
+    em_p = _pad_tbl(emissions, t_pad, b_pad, max_l, 0.0)
     outside, tgt, inl = _masks(input_lengths, target_lengths, b_pad, l_pad)
     alpha_p = _forward_padded(
         em_p, outside, tile=tile, chunk=chunk, interpret=interpret
@@ -294,10 +336,11 @@ def _nll_pallas_bwd(interpret, tiles, residuals, nll_bar):
     inlen_b = jnp.broadcast_to(inl[:, None], (b_pad, l_pad)).astype(jnp.float32)
     tile, chunk = _tiles_for(max_t, l_pad, interpret, tiles)
     g_p = _backward_padded(
-        alpha_p, inject_row, inlen_b, inside, tile=tile, chunk=chunk,
-        interpret=interpret,
+        alpha_p, inject_row, inlen_b, inside, max_l=max_l, tile=tile,
+        chunk=chunk, interpret=interpret,
     )
-    return (g_p[:max_t, :batch, :max_l], None, None)
+    # lane axis already narrow; T/B slices are no-ops when aligned
+    return (g_p[:max_t, :batch], None, None)
 
 
 _nll_pallas.defvjp(_nll_pallas_fwd, _nll_pallas_bwd)
