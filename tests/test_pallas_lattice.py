@@ -70,6 +70,37 @@ def test_pallas_chunked_grid_matches_xla(rng, tiles):
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "tiles", [None, (8, 8), (16, 16)], ids=["auto", "8x8", "16x16"]
+)
+def test_pallas_tlb_layout_matches_xla(rng, tiles):
+    """Native [T, L, B] layout (label on sublanes) — values and grads."""
+    T, B, L = 28, 5, 21
+    em, in_len, tgt_len = _case(rng, T, B, L)
+    em_tlb = jnp.transpose(em, (0, 2, 1))
+    cot = jnp.asarray(rng.standard_normal(B).astype(np.float32))
+
+    def via_xla(e):
+        return jnp.sum(lattice_xla.noblank_lattice_nll(e, in_len, tgt_len) * cot)
+
+    def via_pallas_tlb(e_tlb):
+        return jnp.sum(
+            noblank_lattice_nll_pallas(
+                e_tlb, in_len, tgt_len, layout="tlb", interpret=True,
+                tiles=tiles,
+            )
+            * cot
+        )
+
+    v_x, g_x = jax.value_and_grad(via_xla)(em)
+    v_p, g_p = jax.value_and_grad(via_pallas_tlb)(em_tlb)
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(g_p, (0, 2, 1))), np.asarray(g_x),
+        rtol=2e-3, atol=2e-5,
+    )
+
+
 def test_pallas_degenerate_lengths(rng):
     em, in_len, tgt_len = _case(rng, 24, 4, 12, degenerate=True)
     in_len = in_len.at[1].set(3)  # target_length may exceed input_length
