@@ -5,9 +5,19 @@ used at /root/reference/models/layers/AsyncTFCriterion.py:198 and
 Classic Graves CTC over the blank-expanded label sequence
 ``z = [blank, l1, blank, l2, ..., lL, blank]`` (length S = 2L+1) with
 stay / advance / skip transitions, where skip is allowed into non-blank
-positions whose label differs from the one two slots back.  Computed in log
-space with a ``lax.scan`` over time; differentiated by autodiff through the
-scan (loss and grads match torch.nn.CTCLoss to float tolerance).
+positions whose label differs from the one two slots back.  Two
+implementations of the O(T*S) DP, same math (loss and grads match
+torch.nn.CTCLoss to float tolerance):
+
+* ``'xla'`` — log-space ``lax.scan`` over time, differentiated by autodiff
+  through the scan (CPU-runnable; the test oracle path).
+* ``'pallas'`` — the TPU wavefront kernel pair in
+  :mod:`ctc_tpu.ops.blank_lattice_pallas` (alpha chunked through VMEM,
+  analytic backward).  Default on TPU backends.
+
+The emission gather (``em[t, b, s] = log_probs[t, b, z[b, s]]``) and the
+log-softmax stay in XLA in both cases, so d(loss)/d(logits) flows through
+XLA's scatter-add regardless of implementation.
 """
 
 from __future__ import annotations
@@ -15,9 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Finite log-zero for the blank lattice.  Large enough that exp() underflows
-# to exactly 0 in float32, small enough that sums of a few of them stay finite.
-_NEG = -1.0e30
+from ctc_tpu.ops.logspace import BLANK_NEG as _NEG
 
 
 def _expand_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
@@ -36,6 +44,8 @@ def ctc_loss(
     blank: int = 0,
     reduction: str = "mean",
     normalize: bool = True,
+    implementation: str | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Blank CTC NLL.
 
@@ -48,6 +58,9 @@ def ctc_loss(
       blank: blank class index (torch default 0).
       reduction: ``'mean'`` (torch semantics: per-sample loss divided by
         target length, then batch mean), ``'sum'`` or ``'none'``.
+      implementation: ``'xla'`` (lax.scan) / ``'pallas'`` (TPU kernel) /
+        ``None`` = Pallas on TPU backends, XLA elsewhere.
+      interpret: run the Pallas kernel in interpret mode (CPU testing only).
     """
     max_t, batch, num_classes = logits.shape
     log_probs = jax.nn.log_softmax(logits, axis=2) if normalize else logits
@@ -64,6 +77,25 @@ def ctc_loss(
     em = jnp.take_along_axis(
         log_probs[:, :, None, :], z[None, :, :, None], axis=3
     )[..., 0]  # [T, B, S]
+
+    if implementation is None:
+        from ctc_tpu.ops.dispatch import _default_implementation
+
+        implementation = _default_implementation()
+    if implementation == "pallas":
+        from ctc_tpu.ops.blank_lattice_pallas import blank_lattice_nll_pallas
+
+        # [T, B, S] -> [T, S, B]: label slots on sublanes, batch on lanes
+        # (the fast layout — S=2L+1 pads to a multiple of 8, not 128).
+        nll = blank_lattice_nll_pallas(
+            jnp.transpose(em, (0, 2, 1)),
+            skip_ok,
+            input_lengths,
+            target_lengths,
+            layout="tlb",
+            interpret=interpret,
+        )
+        return _reduce(nll, target_lengths, reduction)
 
     # Valid lattice columns: s < 2 * target_length + 1.
     valid = s_idx < (2 * target_lengths + 1)[:, None]  # [B, S]
@@ -106,7 +138,10 @@ def ctc_loss(
     (_, final), _ = jax.lax.scan(
         step, (alpha0, final0), (jnp.arange(1, max_t), em[1:])
     )
-    nll = -final
+    return _reduce(-final, target_lengths, reduction)
+
+
+def _reduce(nll, target_lengths, reduction):
     if reduction == "mean":
         return jnp.mean(nll / jnp.maximum(target_lengths, 1).astype(nll.dtype))
     if reduction == "sum":

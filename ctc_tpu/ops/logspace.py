@@ -16,6 +16,11 @@ import jax.numpy as jnp
 # The reference's ``zero_padding`` value (/root/reference/NoBlankCTC.py:25).
 NEG_SENTINEL = -1.0e13
 
+# Log-zero for the *blank* CTC lattice (torch.nn.CTCLoss uses true -inf; a
+# finite sentinel keeps gradients NaN-free, and at float32 exp(BLANK_NEG - x)
+# underflows to exactly 0 for any reachable x, so it is an exact log-zero).
+BLANK_NEG = -1.0e30
+
 # torch.nn.BCELoss clamps each log term at -100 so that a saturated sigmoid
 # contributes a large-but-finite penalty with zero gradient; mirrored for
 # loss/grad parity with the reference's BCE-emission lattice
