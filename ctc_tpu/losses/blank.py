@@ -83,19 +83,32 @@ def ctc_loss(
 
         implementation = _default_implementation()
     if implementation == "pallas":
-        from ctc_tpu.ops.blank_lattice_pallas import blank_lattice_nll_pallas
+        try:
+            from ctc_tpu.ops.blank_lattice_pallas import blank_lattice_nll_pallas
 
-        # [T, B, S] -> [T, S, B]: label slots on sublanes, batch on lanes
-        # (the fast layout — S=2L+1 pads to a multiple of 8, not 128).
-        nll = blank_lattice_nll_pallas(
-            jnp.transpose(em, (0, 2, 1)),
-            skip_ok,
-            input_lengths,
-            target_lengths,
-            layout="tlb",
-            interpret=interpret,
-        )
-        return _reduce(nll, target_lengths, reduction)
+            # [T, B, S] -> [T, S, B]: label slots on sublanes, batch on lanes
+            # (the fast layout — S=2L+1 pads to a multiple of 8, not 128).
+            nll = blank_lattice_nll_pallas(
+                jnp.transpose(em, (0, 2, 1)),
+                skip_ok,
+                input_lengths,
+                target_lengths,
+                layout="tlb",
+                interpret=interpret,
+            )
+            return _reduce(nll, target_lengths, reduction)
+        except Exception as e:  # pragma: no cover - exercised via monkeypatch
+            # The remote Mosaic compiler can reject a kernel (e.g. VMEM
+            # budget) at a new shape; degrade to the XLA scan instead of
+            # crashing training (only catchable when ctc_loss runs outside
+            # an enclosing jit — inside one, pass implementation='xla').
+            import warnings
+
+            warnings.warn(
+                f"blank-CTC Pallas path failed ({type(e).__name__}: {e}); "
+                "falling back to implementation='xla'",
+                stacklevel=2,
+            )
 
     # Valid lattice columns: s < 2 * target_length + 1.
     valid = s_idx < (2 * target_lengths + 1)[:, None]  # [B, S]

@@ -45,7 +45,6 @@ from ctc_tpu.ops.lattice_pallas import (
     _GRID_SEMANTICS,
     _LANE,
     _SUBLANE,
-    _choose_tiles,
     _label_index,
     _narrow,
     _pad_tb,

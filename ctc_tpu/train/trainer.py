@@ -136,7 +136,7 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
     Trainer.train's CE-vs-CTC mixing scale).
     """
     loss_fn_core = _LOSS_FNS[loss_kind]
-    kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
+    kwargs = {"implementation": implementation}
 
     @jax.jit
     def train_step(state: TrainState, batch, dropout_rng):
@@ -179,7 +179,7 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
 
 def make_eval_step(model, loss_kind: str = "noblank", implementation=None):
     loss_fn_core = _LOSS_FNS[loss_kind]
-    kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
+    kwargs = {"implementation": implementation}
 
     @jax.jit
     def eval_step(state: TrainState, batch):
