@@ -55,9 +55,11 @@ def no_blank_ctc_loss(
       reduction: ``'mean'`` (reference default), ``'sum'`` or ``'none'``.
       implementation: ``'xla'``, ``'pallas'`` or None (auto by backend).
     """
-    emissions = gather_log_softmax_emissions(logits, paths)
+    layout = dispatch.preferred_layout(implementation)
+    emissions = gather_log_softmax_emissions(logits, paths, layout=layout)
     nll = dispatch.lattice_nll(
-        emissions, input_lengths, target_lengths, implementation=implementation
+        emissions, input_lengths, target_lengths,
+        implementation=implementation, layout=layout,
     )
     return _reduce(nll, reduction)
 
@@ -83,8 +85,10 @@ def no_blank_binary_ctc_loss(
       paths: ``[B, L, C]`` float multi-hot label paths.
       input_lengths / target_lengths: ``[B]`` valid lengths.
     """
-    emissions = binary_ce_emissions(logits, paths)
+    layout = dispatch.preferred_layout(implementation)
+    emissions = binary_ce_emissions(logits, paths, layout=layout)
     nll = dispatch.lattice_nll(
-        emissions, input_lengths, target_lengths, implementation=implementation
+        emissions, input_lengths, target_lengths,
+        implementation=implementation, layout=layout,
     )
     return _reduce(nll, reduction)

