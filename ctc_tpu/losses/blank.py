@@ -35,6 +35,84 @@ def _expand_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
     return z.at[:, 1::2].set(targets)
 
 
+def blank_emissions_and_skip(log_probs, targets, blank):
+    """Gathered emissions + skip mask over the blank-expanded sequence.
+
+    Args:
+      log_probs: ``[T, B, C]`` log-probabilities.
+      targets: ``[B, L]`` int labels.
+
+    Returns:
+      ``(em [T, B, S], skip_ok [B, S])`` with ``S = 2L+1``: emissions
+      ``em[t, b, s] = log_probs[t, b, z[b, s]]`` and the skip-transition
+      permission mask (s odd, label differs from two slots back).  Shared by
+      :func:`ctc_loss` and the sequence-sharded blank mode in
+      :mod:`ctc_tpu.parallel.seq_lattice`.
+    """
+    batch = targets.shape[0]
+    num_classes = log_probs.shape[2]
+    z = _expand_targets(jnp.mod(targets, num_classes), blank)  # [B, S]
+    s_len = z.shape[1]
+    z_prev2 = jnp.concatenate(
+        [jnp.full((batch, 2), blank, z.dtype), z[:, :-2]], 1
+    )
+    s_idx = jnp.arange(s_len)[None, :]
+    skip_ok = (s_idx >= 2) & (z != blank) & (z != z_prev2)  # [B, S]
+    em = jnp.take_along_axis(
+        log_probs[:, :, None, :], z[None, :, :, None], axis=3
+    )[..., 0]  # [T, B, S]
+    return em, skip_ok
+
+
+def make_blank_step(skip_ok, valid, input_lengths, target_lengths):
+    """Build the per-timestep scan body of the blank-CTC alpha DP.
+
+    Unified ``t >= 0`` formulation: the initial carry is the virtual
+    ``alpha(-1)`` row (0 at s = 0, sentinel elsewhere) so that t == 0
+    produces the torch initialization (em at s in {0, 1}); skip is gated
+    off at t == 0.  ``carry = (alpha_prev [B, S], final [B])``,
+    ``inp = (t_global, em_t [B, S])``.  Shared by :func:`ctc_loss` and the
+    sequence-sharded blank mode.
+    """
+    s_len = skip_ok.shape[1]
+
+    def gather_final(alpha_t):
+        last_blank = jnp.take_along_axis(
+            alpha_t, jnp.clip(2 * target_lengths, 0, s_len - 1)[:, None], 1
+        )[:, 0]
+        last_label = jnp.take_along_axis(
+            alpha_t, jnp.clip(2 * target_lengths - 1, 0, s_len - 1)[:, None], 1
+        )[:, 0]
+        return jnp.where(
+            target_lengths > 0, jnp.logaddexp(last_blank, last_label),
+            last_blank,
+        )
+
+    def step(carry, inp):
+        alpha_prev, final = carry
+        t, em_t = inp
+        batch = alpha_prev.shape[0]
+        dtype = alpha_prev.dtype
+        shift1 = jnp.concatenate(
+            [jnp.full((batch, 1), _NEG, dtype), alpha_prev[:, :-1]], 1
+        )
+        shift2 = jnp.concatenate(
+            [jnp.full((batch, 2), _NEG, dtype), alpha_prev[:, :-2]], 1
+        )
+        shift2 = jnp.where(jnp.logical_and(skip_ok, t > 0), shift2, _NEG)
+        lse = jnp.logaddexp(jnp.logaddexp(alpha_prev, shift1), shift2)
+        alpha_t = jnp.where(valid, lse, _NEG) + em_t
+        final = jnp.where(t == input_lengths - 1, gather_final(alpha_t), final)
+        return (alpha_t, final), None
+
+    return step
+
+
+def blank_alpha_init(batch, s_len, dtype=jnp.float32):
+    """The virtual ``alpha(-1)`` carry row for :func:`make_blank_step`."""
+    return jnp.full((batch, s_len), _NEG, dtype).at[:, 0].set(0.0)
+
+
 def ctc_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
@@ -64,19 +142,9 @@ def ctc_loss(
     """
     max_t, batch, num_classes = logits.shape
     log_probs = jax.nn.log_softmax(logits, axis=2) if normalize else logits
-    z = _expand_targets(jnp.mod(targets, num_classes), blank)  # [B, S]
-    s_len = z.shape[1]
-
-    # Skip transition allowed into odd (label) slots whose label differs from
-    # the label two slots back.
-    z_prev2 = jnp.concatenate([jnp.full((batch, 2), blank, z.dtype), z[:, :-2]], 1)
+    em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
+    s_len = em.shape[2]
     s_idx = jnp.arange(s_len)[None, :]
-    skip_ok = (s_idx >= 2) & (z != blank) & (z != z_prev2)  # [B, S]
-
-    # Emissions em[t, b, s] = log_probs[t, b, z[b, s]].
-    em = jnp.take_along_axis(
-        log_probs[:, :, None, :], z[None, :, :, None], axis=3
-    )[..., 0]  # [T, B, S]
 
     if implementation is None:
         from ctc_tpu.ops.dispatch import _default_implementation
@@ -112,44 +180,11 @@ def ctc_loss(
 
     # Valid lattice columns: s < 2 * target_length + 1.
     valid = s_idx < (2 * target_lengths + 1)[:, None]  # [B, S]
-
-    alpha0 = jnp.full((batch, s_len), _NEG, logits.dtype)
-    alpha0 = alpha0.at[:, 0].set(em[0, :, 0])
-    alpha0 = jnp.where(
-        (s_idx == 1) & (target_lengths[:, None] > 0), em[0, :, 1][:, None], alpha0
-    )
-    alpha0 = jnp.where(valid, alpha0, _NEG)
-
-    def gather_final(alpha_t):
-        last_blank = jnp.take_along_axis(
-            alpha_t, jnp.clip(2 * target_lengths, 0, s_len - 1)[:, None], 1
-        )[:, 0]
-        last_label = jnp.take_along_axis(
-            alpha_t, jnp.clip(2 * target_lengths - 1, 0, s_len - 1)[:, None], 1
-        )[:, 0]
-        return jnp.where(
-            target_lengths > 0, jnp.logaddexp(last_blank, last_label), last_blank
-        )
-
-    final0 = jnp.where(input_lengths == 1, gather_final(alpha0), 0.0)
-
-    def step(carry, em_t):
-        alpha_prev, final = carry
-        t, em_t = em_t
-        shift1 = jnp.concatenate(
-            [jnp.full((batch, 1), _NEG, logits.dtype), alpha_prev[:, :-1]], 1
-        )
-        shift2 = jnp.concatenate(
-            [jnp.full((batch, 2), _NEG, logits.dtype), alpha_prev[:, :-2]], 1
-        )
-        shift2 = jnp.where(skip_ok, shift2, _NEG)
-        lse = jnp.logaddexp(jnp.logaddexp(alpha_prev, shift1), shift2)
-        alpha_t = jnp.where(valid, lse + em_t, _NEG)
-        final = jnp.where(t == input_lengths - 1, gather_final(alpha_t), final)
-        return (alpha_t, final), None
-
+    step = make_blank_step(skip_ok, valid, input_lengths, target_lengths)
     (_, final), _ = jax.lax.scan(
-        step, (alpha0, final0), (jnp.arange(1, max_t), em[1:])
+        step,
+        (blank_alpha_init(batch, s_len, logits.dtype), jnp.zeros((batch,), logits.dtype)),
+        (jnp.arange(max_t), em),
     )
     return _reduce(-final, target_lengths, reduction)
 

@@ -36,6 +36,40 @@ def _outside_mask(target_lengths: jnp.ndarray, max_path_length: int) -> jnp.ndar
     return positions >= target_lengths[:, None]
 
 
+def make_noblank_step(outside, input_lengths, last_pos):
+    """Build the per-timestep scan body of the blank-free alpha DP.
+
+    The step takes ``carry = (alpha_prev [B, L], final [B])`` and
+    ``inp = (t_global, em_t [B, L])`` and is shared between the unsharded
+    forward below and the sequence-sharded pipeline in
+    :mod:`ctc_tpu.parallel.seq_lattice` (which feeds shard-offset global
+    timesteps and a boundary-row carry).
+    """
+
+    def step(carry, inp):
+        alpha_prev, final = carry
+        t, em_t = inp
+        batch = alpha_prev.shape[0]
+        shifted = jnp.concatenate(
+            [
+                jnp.full((batch, 1), NEG_SENTINEL, alpha_prev.dtype),
+                alpha_prev[:, :-1],
+            ],
+            axis=1,
+        )
+        # At t == 0 the advance branch is absent; the reference still
+        # log-adds the sentinel row (NoBlankCTC.py:73-78), reproduced here.
+        advance = jnp.where(t > 0, shifted, NEG_SENTINEL)
+        lse = jnp.logaddexp(alpha_prev, advance)
+        lse = jnp.where(outside, NEG_SENTINEL, lse)
+        alpha_t = lse + em_t
+        gathered = jnp.take_along_axis(alpha_t, last_pos, axis=1)[:, 0]
+        final = jnp.where(t == input_lengths - 1, gathered, final)
+        return (alpha_t, final), alpha_t
+
+    return step
+
+
 def noblank_lattice_forward(
     emissions: jnp.ndarray,
     input_lengths: jnp.ndarray,
@@ -60,23 +94,7 @@ def noblank_lattice_forward(
     final0 = jnp.zeros((batch,), emissions.dtype)
     last_pos = jnp.clip(target_lengths - 1, 0, max_l - 1)[:, None]
 
-    def step(carry, inp):
-        alpha_prev, final = carry
-        t, em_t = inp
-        shifted = jnp.concatenate(
-            [jnp.full((batch, 1), NEG_SENTINEL, emissions.dtype), alpha_prev[:, :-1]],
-            axis=1,
-        )
-        # At t == 0 the advance branch is absent; the reference still
-        # log-adds the sentinel row (NoBlankCTC.py:73-78), reproduced here.
-        advance = jnp.where(t > 0, shifted, NEG_SENTINEL)
-        lse = jnp.logaddexp(alpha_prev, advance)
-        lse = jnp.where(outside, NEG_SENTINEL, lse)
-        alpha_t = lse + em_t
-        gathered = jnp.take_along_axis(alpha_t, last_pos, axis=1)[:, 0]
-        final = jnp.where(t == input_lengths - 1, gathered, final)
-        return (alpha_t, final), alpha_t
-
+    step = make_noblank_step(outside, input_lengths, last_pos)
     (_, final), alpha = jax.lax.scan(
         step, (alpha0, final0), (jnp.arange(max_t), emissions)
     )

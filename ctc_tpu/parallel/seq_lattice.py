@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ctc_tpu.losses.blank import (
+    blank_alpha_init,
+    blank_emissions_and_skip,
+    make_blank_step,
+)
+from ctc_tpu.ops.emissions import binary_ce_emissions
+from ctc_tpu.ops.lattice_xla import make_noblank_step
 from ctc_tpu.ops.logspace import NEG_SENTINEL
 
 try:
@@ -35,103 +42,140 @@ except AttributeError:  # pragma: no cover
 SEQ_AXIS = "seq"
 
 
-def _local_scan(em, alpha0, outside, t_offset, input_lengths, last_pos):
-    """Scan a local T-shard; returns (alpha_final, per-sample final gather)."""
-    batch = em.shape[1]
+def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis):
+    """The shard-local carry-passing pipeline over n microbatches.
 
-    def step(carry, inp):
-        alpha_prev, final = carry
-        t_local, em_t = inp
-        t_global = t_local + t_offset
-        shifted = jnp.concatenate(
-            [jnp.full((batch, 1), NEG_SENTINEL, em.dtype), alpha_prev[:, :-1]],
-            axis=1,
+    ``em [t_shard, B, W]`` are this shard's emissions; ``make_mb_step(m_idx)``
+    builds the per-timestep scan body (one of the shared lattice steps,
+    closed over microbatch-m slices of the length/mask operands) taking
+    global timesteps; ``init_alpha [B/n, W]`` is the virtual alpha(-1) row
+    entering shard 0.  Returns the psum-combined per-sample ``final [B]``.
+    """
+    t_shard, batch, _ = em.shape
+    mb = batch // n
+    t_offset = k * t_shard
+    t_global = t_offset + jnp.arange(t_shard)
+    boundary = init_alpha
+    finals = jnp.zeros((batch,), em.dtype)
+
+    def pipeline_step(s, carry):
+        boundary, finals = carry
+        m = s - k  # microbatch index at this shard this tick
+        active = (m >= 0) & (m < n)
+        m_idx = jnp.clip(m, 0, n - 1)
+        em_mb = jax.lax.dynamic_slice(
+            em, (0, m_idx * mb, 0), (t_shard, mb, em.shape[2])
         )
-        advance = jnp.where(t_global > 0, shifted, NEG_SENTINEL)
-        lse = jnp.logaddexp(alpha_prev, advance)
-        lse = jnp.where(outside, NEG_SENTINEL, lse)
-        alpha_t = lse + em_t
-        gathered = jnp.take_along_axis(alpha_t, last_pos, axis=1)[:, 0]
-        final = jnp.where(t_global == input_lengths - 1, gathered, final)
-        return (alpha_t, final), None
+        alpha0 = jnp.where(k == 0, init_alpha, boundary)
+        step = make_mb_step(m_idx * mb)
+        (alpha_out, final_mb), _ = jax.lax.scan(
+            step, (alpha0, jnp.zeros((mb,), em.dtype)), (t_global, em_mb)
+        )
+        finals = jax.lax.dynamic_update_slice(
+            finals,
+            jax.lax.dynamic_slice(finals, (m_idx * mb,), (mb,))
+            + jnp.where(active, final_mb, 0.0),
+            (m_idx * mb,),
+        )
+        # hand the boundary alpha to the next shard (ring; shard n-1's
+        # send wraps to 0 where it is ignored)
+        boundary = jax.lax.ppermute(
+            jnp.where(active, alpha_out, boundary),
+            seq_axis,
+            [(i, (i + 1) % n) for i in range(n)],
+        )
+        return boundary, finals
 
-    (alpha_out, final), _ = jax.lax.scan(
-        step,
-        (alpha0, jnp.zeros((batch,), em.dtype)),
-        (jnp.arange(em.shape[0]), em),
+    _, finals = jax.lax.fori_loop(
+        0, 2 * n - 1, pipeline_step, (boundary, finals)
     )
-    return alpha_out, final
+    # each sample's final was accumulated on exactly one shard
+    return jax.lax.psum(finals, seq_axis)
 
 
-def make_seq_sharded_lattice_nll(mesh, *, seq_axis: str = SEQ_AXIS):
-    """Build a jitted seq-sharded NLL: emissions ``[T, B, L]`` with T split
-    over ``seq_axis``; batch must be divisible by the axis size."""
+def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
+                                 seq_axis: str = SEQ_AXIS, blank: int = 0):
+    """Build a jitted sequence-sharded per-sample NLL ``[B]``.
+
+    The per-shard scan reuses the same step functions as the unsharded
+    losses (:func:`ctc_tpu.ops.lattice_xla.make_noblank_step`,
+    :func:`ctc_tpu.losses.blank.make_blank_step`) — only the pipeline wiring
+    (boundary ppermute, microbatching, psum extraction) lives here.
+
+    Modes / signatures of the returned function (leading axis T is split
+    over ``seq_axis``; batch must be divisible by the axis size):
+
+    * ``'noblank'``: ``(emissions [T, B, L], input_lengths, target_lengths)``
+    * ``'binary'``:  ``(logits [T, B, C], paths [B, L, C], input_lengths,
+      target_lengths)`` — BCE emissions (NoBlankBinaryCTC semantics,
+      /root/reference/NoBlankBinaryCTC.py:108-121) are computed
+      *shard-locally* from the logits shard via
+      :func:`ctc_tpu.ops.emissions.binary_ce_emissions`.
+    * ``'blank'``:   ``(logits [T, B, C], targets [B, L], input_lengths,
+      target_lengths)`` — torch.nn.CTCLoss semantics; log-softmax and the
+      emission gather are shard-local.
+    """
     n = mesh.shape[seq_axis]
 
-    def local(em, input_lengths, target_lengths):
-        # em: [T/n, B, L] local shard
+    def _noblank_local(em, input_lengths, target_lengths):
         k = jax.lax.axis_index(seq_axis)
         t_shard, batch, max_l = em.shape
-        mb = batch // n  # microbatch size
-        outside = (
-            jnp.arange(max_l)[None, :] >= target_lengths[:, None]
-        )
+        mb = batch // n
+        outside = jnp.arange(max_l)[None, :] >= target_lengths[:, None]
         last_pos = jnp.clip(target_lengths - 1, 0, max_l - 1)[:, None]
-        t_offset = k * t_shard
 
-        init_alpha = jnp.full((mb, max_l), NEG_SENTINEL, em.dtype).at[:, 0].set(0.0)
-        boundary = init_alpha  # alpha entering this shard for current mb
-        finals = jnp.zeros((batch,), em.dtype)
+        def make_mb_step(b0):
+            return make_noblank_step(
+                jax.lax.dynamic_slice(outside, (b0, 0), (mb, max_l)),
+                jax.lax.dynamic_slice(input_lengths, (b0,), (mb,)),
+                jax.lax.dynamic_slice(last_pos, (b0, 0), (mb, 1)),
+            )
 
-        def pipeline_step(s, carry):
-            boundary, finals = carry
-            m = s - k  # microbatch index at this shard this tick
-            active = (m >= 0) & (m < n)
-            m_idx = jnp.clip(m, 0, n - 1)
-            em_mb = jax.lax.dynamic_slice(
-                em, (0, m_idx * mb, 0), (t_shard, mb, max_l)
-            )
-            outside_mb = jax.lax.dynamic_slice(
-                outside, (m_idx * mb, 0), (mb, max_l)
-            )
-            last_mb = jax.lax.dynamic_slice(last_pos, (m_idx * mb, 0), (mb, 1))
-            in_len_mb = jax.lax.dynamic_slice(
-                input_lengths, (m_idx * mb,), (mb,)
-            )
-            alpha0 = jnp.where(k == 0, init_alpha, boundary)
-            alpha_out, final_mb = _local_scan(
-                em_mb, alpha0, outside_mb, t_offset, in_len_mb, last_mb
-            )
-            finals = jax.lax.dynamic_update_slice(
-                finals,
-                jnp.where(
-                    active,
-                    jax.lax.dynamic_slice(finals, (m_idx * mb,), (mb,))
-                    + final_mb,
-                    jax.lax.dynamic_slice(finals, (m_idx * mb,), (mb,)),
-                ),
-                (m_idx * mb,),
-            )
-            # hand the boundary alpha to the next shard (ring; shard n-1's
-            # send wraps to 0 where it is ignored)
-            boundary = jax.lax.ppermute(
-                jnp.where(active, alpha_out, boundary),
-                seq_axis,
-                [(i, (i + 1) % n) for i in range(n)],
-            )
-            return boundary, finals
-
-        _, finals = jax.lax.fori_loop(
-            0, 2 * n - 1, pipeline_step, (boundary, finals)
+        init_alpha = (
+            jnp.full((mb, max_l), NEG_SENTINEL, em.dtype).at[:, 0].set(0.0)
         )
-        # each sample's final was accumulated on exactly one shard
-        finals = jax.lax.psum(finals, seq_axis)
-        return -finals
+        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis)
+        return -final
+
+    def _binary_local(logits, paths, input_lengths, target_lengths):
+        em = binary_ce_emissions(logits, paths)  # shard-local [T/n, B, L]
+        return _noblank_local(em, input_lengths, target_lengths)
+
+    def _blank_local(logits, targets, input_lengths, target_lengths):
+        k = jax.lax.axis_index(seq_axis)
+        log_probs = jax.nn.log_softmax(logits, axis=2)
+        em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
+        t_shard, batch, s_len = em.shape
+        mb = batch // n
+        valid = (
+            jnp.arange(s_len)[None, :] < (2 * target_lengths + 1)[:, None]
+        )
+
+        def make_mb_step(b0):
+            return make_blank_step(
+                jax.lax.dynamic_slice(skip_ok, (b0, 0), (mb, s_len)),
+                jax.lax.dynamic_slice(valid, (b0, 0), (mb, s_len)),
+                jax.lax.dynamic_slice(input_lengths, (b0,), (mb,)),
+                jax.lax.dynamic_slice(target_lengths, (b0,), (mb,)),
+            )
+
+        init_alpha = blank_alpha_init(mb, s_len, em.dtype)
+        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis)
+        return -final
+
+    if mode == "noblank":
+        local, in_specs = _noblank_local, (P(seq_axis), P(), P())
+    elif mode == "binary":
+        local, in_specs = _binary_local, (P(seq_axis), P(), P(), P())
+    elif mode == "blank":
+        local, in_specs = _blank_local, (P(seq_axis), P(), P(), P())
+    else:
+        raise ValueError(f"unknown seq-sharded lattice mode {mode!r}")
 
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(seq_axis), P(), P()),
+        in_specs=in_specs,
         out_specs=P(),
         check_vma=False,
     )

@@ -64,3 +64,50 @@ def test_seq_sharded_decode_boundary_repeats(seq_mesh):
     dec, lens = fn(shard_time_axis(logits_j, seq_mesh), in_len)
     assert np.asarray(lens).tolist() == [2, 2]
     assert np.asarray(dec[0, :2]).tolist() == [2, 3]
+
+
+def test_seq_sharded_binary_matches_unsharded(rng, seq_mesh):
+    """mode='binary': shard-local BCE emissions + pipeline vs the unsharded
+    NoBlankBinaryCTC loss (per-sample NLL)."""
+    from ctc_tpu import losses
+
+    T, B, C, L = 32, 8, 13, 6
+    logits = jnp.asarray(rng.standard_normal((T, B, C)).astype(np.float32))
+    paths = jnp.asarray((rng.random((B, L, C)) < 0.25).astype(np.float32))
+    in_len = jnp.asarray(rng.integers(1, T + 1, size=B))
+    tgt_len = jnp.asarray(
+        np.minimum(rng.integers(1, L + 1, size=B), np.asarray(in_len))
+    )
+
+    want = losses.no_blank_binary_ctc_loss(
+        logits, paths, in_len, tgt_len, reduction="none", implementation="xla"
+    )
+    fn = make_seq_sharded_lattice_nll(seq_mesh, mode="binary")
+    got = fn(shard_time_axis(logits, seq_mesh), paths, in_len, tgt_len)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_seq_sharded_blank_matches_unsharded(rng, seq_mesh):
+    """mode='blank': vs the unsharded blank ctc_loss (torch semantics),
+    including repeated labels (skip gating) and varying lengths."""
+    from ctc_tpu import losses
+
+    T, B, C, L = 32, 8, 10, 7
+    logits = jnp.asarray(rng.standard_normal((T, B, C)).astype(np.float32))
+    targets = np.asarray(rng.integers(1, C, size=(B, L)), np.int32)
+    targets[:, 1::2] = targets[:, ::2][:, : targets[:, 1::2].shape[1]]
+    targets = jnp.asarray(targets)
+    in_len = jnp.asarray(rng.integers(2 * L + 1, T + 1, size=B))
+    tgt_len = jnp.asarray(rng.integers(0, L + 1, size=B))
+
+    want = losses.ctc_loss(
+        logits, targets, in_len, tgt_len, reduction="none",
+        implementation="xla",
+    )
+    fn = make_seq_sharded_lattice_nll(seq_mesh, mode="blank")
+    got = fn(shard_time_axis(logits, seq_mesh), targets, in_len, tgt_len)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
