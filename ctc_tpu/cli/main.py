@@ -78,6 +78,7 @@ def main(argv=None):
              "finetune": cfg.finetune_i3d}
             if pixels else None
         ),
+        transition_metrics=cfg.transition_metrics,
     )
 
     state = trainer.init_state(train_batches[0])
@@ -165,12 +166,37 @@ def main(argv=None):
             print(f"own-video eval skipped: {e}")
         return metrics
 
+    video_eval = None
+    if cfg.video_eval:
+        # per-epoch video mAP (reference's intended-but-dead val_video path)
+        try:
+            loader_mod = importlib.import_module(
+                f"ctc_tpu.data.loaders.{cfg.dataset}"
+            )
+            get_vv = getattr(loader_mod, "get_val_video", None)
+            if get_vv is not None:
+                from ctc_tpu.eval.video import evaluate_videos
+
+                vv_data, vv_gt = get_vv(cfg)
+                if len(vv_data["ids"]):
+                    def video_eval(state, _d=vv_data, _g=vv_gt):
+                        out = evaluate_videos(
+                            model, state, _d, _g,
+                            num_verbs=cfg.head_classes,
+                            gt_col=(1 if cfg.head_is_object_space else 2),
+                        )
+                        print(f"video mAP: {out['mAP']:.4f}")
+                        return out
+        except Exception as e:
+            print(f"per-epoch video eval disabled: {e}")
+
     state, history = trainer.fit(
         train_batches,
         val_batches,
         epochs=cfg.epochs,
         state=state,
         start_epoch=start_epoch,
+        video_eval=video_eval,
     )
     print(f"done: best val top1 "
           f"{max(h['val']['top1'] for h in history):.3f}")

@@ -41,6 +41,11 @@ class Config:
     print_test_freq: int = 10
     resume: str = ""
     evaluate: bool = False
+    # per-epoch video-level mAP inside fit() (the reference's intended
+    # val_video path, dead in its code — SURVEY.md §2.3) and the DTW
+    # transition metric family in validate (train.py:556-584 intent)
+    video_eval: bool = False
+    transition_metrics: bool = False
     inputsize: int = 224
     extract_feat_dim: int = 1024
     manual_seed: int = 0

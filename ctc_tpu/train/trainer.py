@@ -30,7 +30,12 @@ import jax.numpy as jnp
 import optax
 
 from ctc_tpu import losses
-from ctc_tpu.train.metrics import AverageMeter, topk_accuracy
+from ctc_tpu.train.metrics import (
+    AverageMeter,
+    topk_accuracy,
+    transition_accuracy,
+    transition_recall,
+)
 from ctc_tpu.train.schedule import step_decay_schedule
 
 
@@ -177,7 +182,18 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
     return train_step
 
 
-def make_eval_step(model, loss_kind: str = "noblank", implementation=None):
+def make_eval_step(model, loss_kind: str = "noblank", implementation=None,
+                   transition_metrics: bool = False):
+    """Build the jitted eval step.
+
+    ``transition_metrics=True`` additionally reports the DTW transition
+    metric family the reference's validate intended to compute
+    (/root/reference/train.py:556-584: accuracy_time / recall_time on the
+    label paths): per-sample :func:`transition_accuracy` and
+    :func:`transition_recall` over the full logit sequence, batch-averaged
+    as ``trans_top{1,5}`` / ``recall_top{1,5}``.  Integer paths are
+    one-hotted to the multi-hot form the matcher walks.
+    """
     loss_fn_core = _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
 
@@ -196,10 +212,28 @@ def make_eval_step(model, loss_kind: str = "noblank", implementation=None):
             batch["target_lengths"],
             **kwargs,
         )
+        extra = {}
+        if transition_metrics:
+            paths = batch["paths"]
+            if paths.ndim == 2:  # int class-index paths -> multi-hot
+                paths = jax.nn.one_hot(
+                    jnp.mod(paths, logits.shape[2]), logits.shape[2]
+                )
+            out_bt = jnp.transpose(logits, (1, 0, 2))  # [B, T, C]
+            (t1, t5), _ = jax.vmap(
+                lambda o, p, n: transition_accuracy(o, p, n)
+            )(out_bt, paths, batch["target_lengths"])
+            (r1, r5), _ = jax.vmap(
+                lambda o, p, n: transition_recall(o, p, n)
+            )(out_bt, paths, batch["target_lengths"])
+            extra = {
+                "trans_top1": jnp.mean(t1), "trans_top5": jnp.mean(t5),
+                "recall_top1": jnp.mean(r1), "recall_top5": jnp.mean(r5),
+            }
         (top1, top5), _ = topk_accuracy(
             logits[-1], batch["future_target"], topk=(1, 5)
         )
-        return {"loss": loss, "top1": top1, "top5": top5}
+        return {"loss": loss, "top1": top1, "top5": top5, **extra}
 
     return eval_step
 
@@ -230,6 +264,7 @@ class Trainer:
         train_size: float = 1.0,
         val_size: float = 1.0,
         i3d_optimizer: dict | None = None,
+        transition_metrics: bool = False,
     ):
         if print_test_freq is None:
             print_test_freq = print_freq
@@ -281,7 +316,8 @@ class Trainer:
             )
         self.train_step = make_train_step(model, loss_kind, implementation,
                                           ce_weight)
-        self.eval_step = make_eval_step(model, loss_kind, implementation)
+        self.eval_step = make_eval_step(model, loss_kind, implementation,
+                                        transition_metrics)
         self.cache_dir = cache_dir
         self.print_freq = print_freq
         self.print_test_freq = print_test_freq
@@ -349,13 +385,13 @@ class Trainer:
         return state, {k: m.avg for k, m in meters.items()}
 
     def validate(self, state: TrainState, loader, epoch: int):
-        meters = {k: AverageMeter() for k in ("loss", "top1", "top5")}
+        meters: dict[str, AverageMeter] = {}
         log = self._csv_writer("test_log.csv")
         for i, batch in enumerate(self._part(loader, self.val_size)):
             metrics = self.eval_step(state, batch)
             n = batch["feats"].shape[0]
-            for k in meters:
-                meters[k].update(float(metrics[k]), n)
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).update(float(v), n)
             if log and i % self.print_test_freq == 0:
                 log[1].writerow(
                     [epoch, i, meters["loss"].val, meters["top1"].val,
@@ -375,11 +411,20 @@ class Trainer:
         start_epoch: int = 0,
         checkpoint_best: bool = True,
         max_restarts: int = 0,
+        video_eval: Callable[[TrainState], dict] | None = None,
     ):
         """Epoch loop with per-epoch checkpointing and, with
         ``max_restarts > 0``, crash recovery: an epoch that raises restores
         the last checkpoint and continues (failure-recovery capability the
-        reference lacks entirely, SURVEY.md §5.3).  Requires ``cache_dir``."""
+        reference lacks entirely, SURVEY.md §5.3).  Requires ``cache_dir``.
+
+        ``video_eval``: optional per-epoch video-level evaluation (e.g. a
+        closure over :func:`ctc_tpu.eval.video.evaluate_videos`); must
+        return a dict with an ``'mAP'`` key.  When present, mAP is recorded
+        in the history/score log and selects the best checkpoint (the
+        reference's checkpoints.save stores mAP as the score,
+        /root/reference/checkpoints.py:59-76, but its video eval was dead
+        code — here it runs inside the training loop)."""
         from ctc_tpu.train import checkpoints as ckpt
 
         if state is None:
@@ -395,6 +440,9 @@ class Trainer:
                     state, train_loader, epoch
                 )
                 val_metrics = self.validate(state, val_loader, epoch)
+                if video_eval is not None:
+                    vm = video_eval(state)
+                    val_metrics["mAP"] = float(vm["mAP"])
             except Exception as e:
                 if restarts >= max_restarts or not self.cache_dir:
                     raise
@@ -408,17 +456,18 @@ class Trainer:
                 continue
             history.append({"train": train_metrics, "val": val_metrics})
             if score_log:
-                score_log[1].writerow(
-                    [epoch, train_metrics["loss"], val_metrics["loss"],
-                     val_metrics["top1"], val_metrics["top5"]]
-                )
+                row = [epoch, train_metrics["loss"], val_metrics["loss"],
+                       val_metrics["top1"], val_metrics["top5"]]
+                if "mAP" in val_metrics:
+                    row.append(val_metrics["mAP"])
+                score_log[1].writerow(row)
                 score_log[0].flush()
             if self.cache_dir:
-                is_best = val_metrics["top1"] > best
-                best = max(best, val_metrics["top1"])
+                score = val_metrics.get("mAP", val_metrics["top1"])
+                is_best = score > best
+                best = max(best, score)
                 ckpt.save(
-                    self.cache_dir, state, epoch,
-                    score=val_metrics["top1"], is_best=is_best,
+                    self.cache_dir, state, epoch, score=score, is_best=is_best,
                 )
             epoch += 1
         if score_log:

@@ -177,3 +177,61 @@ def test_train_val_size_subsampling():
     trainer.validate(state, val, epoch=0)
     assert train.consumed == 2  # int(4 * 0.5)
     assert val.consumed == 4    # islice caps at the full loader
+
+
+def test_validate_transition_metrics_and_video_eval(tmp_path):
+    """transition_metrics=True reports the DTW family batch-averaged (cross
+    checked against the per-sample metric functions), and fit(video_eval=...)
+    records mAP and selects the best checkpoint by it."""
+    import jax
+
+    from ctc_tpu.train.metrics import transition_accuracy, transition_recall
+
+    train, val = _loaders()
+    trainer = Trainer(
+        LSTMHead(hidden=12),
+        loss_kind="noblank",
+        lr=5e-3,
+        steps_per_epoch=len(train),
+        cache_dir=str(tmp_path),
+        implementation="xla",
+        transition_metrics=True,
+    )
+    state = trainer.init_state(train[0])
+    metrics = trainer.validate(state, val, epoch=0)
+    for k in ("trans_top1", "trans_top5", "recall_top1", "recall_top5"):
+        assert k in metrics, metrics
+
+    # cross-check the batch average against the per-sample functions
+    batch = val[0]
+    logits = trainer.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.transpose(jnp.asarray(batch["feats"]), (1, 0, 2)),
+        train=False,
+    )
+    paths_mh = jax.nn.one_hot(
+        jnp.mod(jnp.asarray(batch["paths"]), logits.shape[2]), logits.shape[2]
+    )
+    want_t1 = np.mean([
+        float(transition_accuracy(
+            logits[:, b], paths_mh[b], batch["target_lengths"][b]
+        )[0][0])
+        for b in range(logits.shape[1])
+    ])
+    got = trainer.eval_step(state, batch)
+    np.testing.assert_allclose(float(got["trans_top1"]), want_t1, rtol=1e-5)
+
+    calls = []
+
+    def fake_video_eval(state):
+        calls.append(1)
+        return {"mAP": 0.5 + 0.01 * len(calls)}
+
+    _, history = trainer.fit(train, val, epochs=2, video_eval=fake_video_eval)
+    assert len(calls) == 2
+    assert history[-1]["val"]["mAP"] == 0.52
+    import csv as _csv
+
+    with open(tmp_path / "score.csv") as f:
+        rows = list(_csv.reader(f))
+    assert len(rows[-1]) == 6  # epoch, tr_loss, val_loss, top1, top5, mAP
