@@ -45,7 +45,6 @@ from ctc_tpu.ops.lattice_pallas import (
     _GRID_SEMANTICS,
     _LANE,
     _SUBLANE,
-    _inlen_slab,
     _label_index,
     _narrow,
     _pad_tb,
@@ -56,21 +55,16 @@ from ctc_tpu.ops.lattice_pallas import (
 from ctc_tpu.ops.logspace import BLANK_NEG
 
 
-def _forward_kernel(em_ref, skip_ref, inlen_ref, alpha_out_ref, fin_ref,
-                    carry_ref, fin_acc_ref, *, label_axis):
+def _forward_kernel(em_ref, skip_ref, alpha_out_ref, carry_ref, *, label_axis):
     """Blank-CTC alpha recursion for one (chunk, slab) block.
 
     Same carry-in-scratch chunking as the no-blank forward kernel; the only
-    new operand is the skip-permission slab.  Like the no-blank kernel, the
-    alpha slab at each sample's last valid step is captured into ``fin_ref``
-    so neither the loss gather nor the backward injection re-reads the full
-    alpha from HBM.
+    new operand is the skip-permission slab.
     """
     chunk = em_ref.shape[0]
     slab = alpha_out_ref.shape[1:]
     l_pad = slab[label_axis]
     skip_ok = skip_ref[:] > 0.5
-    inlen = inlen_ref[:]
     lab0 = _label_index(slab, label_axis) == 0
     pid_t = pl.program_id(1)
 
@@ -79,10 +73,8 @@ def _forward_kernel(em_ref, skip_ref, inlen_ref, alpha_out_ref, fin_ref,
         # alpha(-1, s) := 0 at s == 0 so that t == 0 yields em at s in {0, 1}
         # (stay from s=0, advance into s=1) — the torch CTC initialization.
         carry_ref[:] = jnp.where(lab0, 0.0, BLANK_NEG).astype(carry_ref.dtype)
-        fin_acc_ref[:] = jnp.full(slab, BLANK_NEG, fin_acc_ref.dtype)
 
-    def body(i, carry):
-        alpha, fin = carry
+    def body(i, alpha):
         t = pid_t * chunk + i
         adv = pltpu.roll(alpha, shift=1, axis=label_axis)
         adv = jnp.where(lab0, BLANK_NEG, adv)
@@ -92,15 +84,9 @@ def _forward_kernel(em_ref, skip_ref, inlen_ref, alpha_out_ref, fin_ref,
         lse = jnp.logaddexp(jnp.logaddexp(alpha, adv), skp)
         alpha = lse + _widen(em_ref[i], l_pad, label_axis)
         alpha_out_ref[i] = alpha
-        fin = jnp.where(t == inlen - 1, alpha, fin)
-        return alpha, fin
+        return alpha
 
-    carry, fin_acc = jax.lax.fori_loop(
-        0, chunk, body, (carry_ref[:], fin_acc_ref[:])
-    )
-    carry_ref[:] = carry
-    fin_acc_ref[:] = fin_acc
-    fin_ref[:] = fin_acc
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:])
 
 
 def _backward_kernel(
@@ -171,9 +157,7 @@ def _backward_kernel(
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "label_axis", "interpret")
 )
-def _forward_padded(em_p, skip_p, inlen_p, *, tile, chunk, label_axis,
-                    interpret=False):
-    """Returns ``(alpha_p, fin_p)``; fin_p is the last-valid-step alpha slab."""
+def _forward_padded(em_p, skip_p, *, tile, chunk, label_axis, interpret=False):
     t_pad = em_p.shape[0]
     max_s = em_p.shape[1 + label_axis]
     l_pad = skip_p.shape[label_axis]
@@ -184,32 +168,24 @@ def _forward_padded(em_p, skip_p, inlen_p, *, tile, chunk, label_axis,
         tbl_map = lambda i, j: (j, 0, i)
         row_map = lambda i, j: (0, i)
         out_shape = (t_pad, l_pad, b_pad)
-        fin_shape = (l_pad, b_pad)
     else:
         blk = lambda l_dim: (chunk, tile, l_dim)
         tbl_map = lambda i, j: (j, i, 0)
         row_map = lambda i, j: (i, 0)
         out_shape = (t_pad, b_pad, l_pad)
-        fin_shape = (b_pad, l_pad)
     em_spec = pl.BlockSpec(blk(max_s), tbl_map, memory_space=pltpu.VMEM)
     alpha_spec = pl.BlockSpec(blk(l_pad), tbl_map, memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec(blk(l_pad)[1:], row_map, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_forward_kernel, label_axis=label_axis),
-        out_shape=(
-            jax.ShapeDtypeStruct(out_shape, em_p.dtype),
-            jax.ShapeDtypeStruct(fin_shape, em_p.dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct(out_shape, em_p.dtype),
         grid=grid,
-        in_specs=[em_spec, row_spec, row_spec],
-        out_specs=(alpha_spec, row_spec),
-        scratch_shapes=[
-            pltpu.VMEM(blk(l_pad)[1:], em_p.dtype),
-            pltpu.VMEM(blk(l_pad)[1:], em_p.dtype),
-        ],
+        in_specs=[em_spec, row_spec],
+        out_specs=alpha_spec,
+        scratch_shapes=[pltpu.VMEM(blk(l_pad)[1:], em_p.dtype)],
         compiler_params=None if interpret else _GRID_SEMANTICS,
         interpret=interpret,
-    )(em_p, skip_p, inlen_p)
+    )(em_p, skip_p)
 
 
 @functools.partial(
@@ -262,23 +238,27 @@ def _pads(skip_ok, input_lengths, target_lengths, b_pad, l_pad, label_axis):
     return skip, tgt, inl
 
 
-def _final_cells(fin_p, tgt, label_axis):
-    """Gather the two torch-CTC final cells from the kernel-captured
-    last-valid-step slab -> (aA, aB) each [b_pad].
+def _final_cells(alpha_p, tgt, inl, max_t, label_axis):
+    """Gather alpha at the two torch-CTC final cells -> (aA, aB) each [b_pad].
 
     aA is the trailing-blank cell ``s = 2*L_b`` (also the ``L_b == 0`` cell),
     aB the last-label cell ``s = 2*L_b - 1``.
     """
-    l_pad = fin_p.shape[label_axis]
+    l_pad = alpha_p.shape[1 + label_axis]
     s_a = jnp.clip(2 * tgt, 0, l_pad - 1)
     s_b = jnp.clip(2 * tgt - 1, 0, l_pad - 1)
     if label_axis == 0:
-        pick = lambda idx: jnp.take_along_axis(fin_p, idx[None, :], axis=0)[0]
+        pick = lambda idx: jnp.take_along_axis(
+            alpha_p, idx[None, None, :], axis=1
+        )[:, 0, :]
     else:
-        pick = lambda idx: jnp.take_along_axis(fin_p, idx[:, None], axis=1)[
-            :, 0
-        ]
-    return pick(s_a), pick(s_b)
+        pick = lambda idx: jnp.take_along_axis(
+            alpha_p, idx[None, :, None], axis=2
+        )[..., 0]
+    t_idx = jnp.clip(inl - 1, 0, max_t - 1)[None, :]
+    a_a = jnp.take_along_axis(pick(s_a), t_idx, axis=0)[0]
+    a_b = jnp.take_along_axis(pick(s_b), t_idx, axis=0)[0]
+    return a_a, a_b
 
 
 def _run_forward(emissions, skip_ok, input_lengths, target_lengths, layout,
@@ -295,14 +275,13 @@ def _run_forward(emissions, skip_ok, input_lengths, target_lengths, layout,
     skip_p, tgt, inl = _pads(
         skip_ok, input_lengths, target_lengths, b_pad, l_pad, label_axis
     )
-    inlen_p = _inlen_slab(inl, b_pad, l_pad, label_axis)
-    alpha_p, fin_p = _forward_padded(
-        em_p, skip_p, inlen_p, tile=tile, chunk=chunk, label_axis=label_axis,
+    alpha_p = _forward_padded(
+        em_p, skip_p, tile=tile, chunk=chunk, label_axis=label_axis,
         interpret=interpret,
     )
-    a_a, a_b = _final_cells(fin_p, tgt, label_axis)
+    a_a, a_b = _final_cells(alpha_p, tgt, inl, max_t, label_axis)
     final = jnp.where(tgt > 0, jnp.logaddexp(a_a, a_b), a_a)
-    return -final[:batch], alpha_p, fin_p
+    return -final[:batch], alpha_p
 
 
 def blank_lattice_nll_pallas(
@@ -329,7 +308,7 @@ def blank_lattice_nll_pallas(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _nll_pallas(emissions, skip_ok, input_lengths, target_lengths, layout,
                 interpret, tiles):
-    nll, _, _ = _run_forward(
+    nll, _ = _run_forward(
         emissions, skip_ok, input_lengths, target_lengths, layout, interpret,
         tiles,
     )
@@ -338,20 +317,16 @@ def _nll_pallas(emissions, skip_ok, input_lengths, target_lengths, layout,
 
 def _nll_pallas_fwd(emissions, skip_ok, input_lengths, target_lengths, layout,
                     interpret, tiles):
-    nll, alpha_p, fin_p = _run_forward(
+    nll, alpha_p = _run_forward(
         emissions, skip_ok, input_lengths, target_lengths, layout, interpret,
         tiles,
     )
-    res = (
-        alpha_p, fin_p, skip_ok, input_lengths, target_lengths,
-        emissions.shape,
-    )
+    res = (alpha_p, skip_ok, input_lengths, target_lengths, emissions.shape)
     return nll, res
 
 
 def _nll_pallas_bwd(layout, interpret, tiles, residuals, nll_bar):
-    (alpha_p, fin_p, skip_ok, input_lengths, target_lengths,
-     em_shape) = residuals
+    alpha_p, skip_ok, input_lengths, target_lengths, em_shape = residuals
     label_axis = 0 if layout == "tlb" else 1
     max_t = em_shape[0]
     max_s = em_shape[1 + label_axis]
@@ -364,7 +339,7 @@ def _nll_pallas_bwd(layout, interpret, tiles, residuals, nll_bar):
     bar = jnp.pad(nll_bar, (0, b_pad - batch))
     # Injection: d(nll)/d(alpha[T_b-1, s]) = -softmax over the two final
     # cells (only the trailing-blank cell when L_b == 0).
-    a_a, a_b = _final_cells(fin_p, tgt, label_axis)
+    a_a, a_b = _final_cells(alpha_p, tgt, inl, max_t, label_axis)
     lse_f = jnp.where(tgt > 0, jnp.logaddexp(a_a, a_b), a_a)
     w_a = jnp.exp(a_a - lse_f)
     w_b = jnp.where(tgt > 0, jnp.exp(a_b - lse_f), 0.0)

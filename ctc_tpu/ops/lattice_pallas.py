@@ -106,24 +106,18 @@ def _choose_tiles(max_t: int, max_l: int, layout: str) -> tuple[int, int]:
     return tiles[-1], min(8, _round_up(max_t, _SUBLANE))
 
 
-def _forward_kernel(em_ref, outside_ref, inlen_ref, alpha_out_ref, fin_ref,
-                    carry_ref, fin_acc_ref, *, label_axis):
+def _forward_kernel(em_ref, outside_ref, alpha_out_ref, carry_ref, *,
+                    label_axis):
     """alpha recursion for one (chunk, slab) block; carry across chunks.
 
     The emission block's label width may be unpadded: it is widened to the
     compute width in VMEM per step, so the caller never pays an HBM pad
     copy.  alpha (the backward residual) stays at the compute width.
-
-    The final alpha row at each sample's last valid step
-    (``alpha[input_length_b - 1, :, b]``) is captured into ``fin_ref`` as it
-    streams past (one select per step) — the loss gather then reads the tiny
-    ``[l_pad, b]`` slab instead of re-reading the whole alpha from HBM.
     """
     chunk = em_ref.shape[0]
     slab = alpha_out_ref.shape[1:]  # compute-width 2D slab
     l_pad = slab[label_axis]
     outside = outside_ref[:] > 0.5
-    inlen = inlen_ref[:]
     lab0 = _label_index(slab, label_axis) == 0
     pid_t = pl.program_id(1)
 
@@ -132,10 +126,8 @@ def _forward_kernel(em_ref, outside_ref, inlen_ref, alpha_out_ref, fin_ref,
         carry_ref[:] = jnp.where(lab0, 0.0, NEG_SENTINEL).astype(
             carry_ref.dtype
         )
-        fin_acc_ref[:] = jnp.full(slab, NEG_SENTINEL, fin_acc_ref.dtype)
 
-    def body(i, carry):
-        alpha, fin = carry
+    def body(i, alpha):
         t = pid_t * chunk + i
         shifted = pltpu.roll(alpha, shift=1, axis=label_axis)
         shifted = jnp.where(lab0, NEG_SENTINEL, shifted)
@@ -146,15 +138,9 @@ def _forward_kernel(em_ref, outside_ref, inlen_ref, alpha_out_ref, fin_ref,
         lse = jnp.where(outside, NEG_SENTINEL, lse)
         alpha = lse + _widen(em_ref[i], l_pad, label_axis)
         alpha_out_ref[i] = alpha
-        fin = jnp.where(t == inlen - 1, alpha, fin)
-        return alpha, fin
+        return alpha
 
-    carry, fin_acc = jax.lax.fori_loop(
-        0, chunk, body, (carry_ref[:], fin_acc_ref[:])
-    )
-    carry_ref[:] = carry
-    fin_acc_ref[:] = fin_acc
-    fin_ref[:] = fin_acc
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:])
 
 
 def _backward_kernel(
@@ -231,13 +217,9 @@ def _pad_tb(x, t_pad, b_pad, label_axis, fill):
 @functools.partial(
     jax.jit, static_argnames=("tile", "chunk", "label_axis", "interpret")
 )
-def _forward_padded(em_p, outside_p, inlen_p, *, tile, chunk, label_axis,
+def _forward_padded(em_p, outside_p, *, tile, chunk, label_axis,
                     interpret=False):
-    """em_p's label axis may be unpadded; alpha out is at outside_p's width.
-
-    Returns ``(alpha_p, fin_p)`` where ``fin_p`` is the alpha slab captured
-    at each sample's last valid step (the final-cell gather source).
-    """
+    """em_p's label axis may be unpadded; alpha out is at outside_p's width."""
     t_pad = em_p.shape[0]
     max_l = em_p.shape[1 + label_axis]
     l_pad = outside_p.shape[label_axis]
@@ -257,23 +239,16 @@ def _forward_padded(em_p, outside_p, inlen_p, *, tile, chunk, label_axis,
     out_shape = (
         (t_pad, l_pad, b_pad) if label_axis == 0 else (t_pad, b_pad, l_pad)
     )
-    fin_shape = (l_pad, b_pad) if label_axis == 0 else (b_pad, l_pad)
     return pl.pallas_call(
         functools.partial(_forward_kernel, label_axis=label_axis),
-        out_shape=(
-            jax.ShapeDtypeStruct(out_shape, em_p.dtype),
-            jax.ShapeDtypeStruct(fin_shape, em_p.dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct(out_shape, em_p.dtype),
         grid=grid,
-        in_specs=[em_spec, row_spec, row_spec],
-        out_specs=(alpha_spec, row_spec),
-        scratch_shapes=[
-            pltpu.VMEM(blk(l_pad)[1:], em_p.dtype),
-            pltpu.VMEM(blk(l_pad)[1:], em_p.dtype),
-        ],
+        in_specs=[em_spec, row_spec],
+        out_specs=alpha_spec,
+        scratch_shapes=[pltpu.VMEM(blk(l_pad)[1:], em_p.dtype)],
         compiler_params=None if interpret else _GRID_SEMANTICS,
         interpret=interpret,
-    )(em_p, outside_p, inlen_p)
+    )(em_p, outside_p)
 
 
 @functools.partial(
@@ -327,17 +302,6 @@ def _masks(input_lengths, target_lengths, b_pad, l_pad, label_axis):
     return outside, tgt, inl
 
 
-def _inlen_slab(inl, b_pad, l_pad, label_axis):
-    """Broadcast per-sample input lengths (clamped >= 1, matching the old
-    final-gather clip) to a kernel-orientation float slab."""
-    inl = jnp.maximum(inl, 1)
-    if label_axis == 0:
-        return jnp.broadcast_to(inl[None, :], (l_pad, b_pad)).astype(
-            jnp.float32
-        )
-    return jnp.broadcast_to(inl[:, None], (b_pad, l_pad)).astype(jnp.float32)
-
-
 def _tiles_for(max_t, max_l, layout, interpret, override):
     if override is not None:
         return override
@@ -364,18 +328,23 @@ def _run_forward(emissions, input_lengths, target_lengths, layout, interpret,
     outside, tgt, inl = _masks(
         input_lengths, target_lengths, b_pad, l_pad, label_axis
     )
-    inlen_p = _inlen_slab(inl, b_pad, l_pad, label_axis)
-    alpha_p, fin_p = _forward_padded(
-        em_p, outside, inlen_p, tile=tile, chunk=chunk, label_axis=label_axis,
+    alpha_p = _forward_padded(
+        em_p, outside, tile=tile, chunk=chunk, label_axis=label_axis,
         interpret=interpret,
     )
-    # nll = -fin[b, L_b-1]: the kernel captured the alpha slab at each
-    # sample's last valid step; only the tiny [l_pad, b_pad] slab is read.
+    # nll = -alpha[T_b-1, b, L_b-1] — gather in XLA.
     l_idx = jnp.clip(tgt - 1, 0, l_pad - 1)
     if label_axis == 0:
-        final = jnp.take_along_axis(fin_p, l_idx[None, :], axis=0)[0]
+        at_l = jnp.take_along_axis(alpha_p, l_idx[None, None, :], axis=1)[
+            :, 0, :
+        ]  # [T_pad, b_pad]
     else:
-        final = jnp.take_along_axis(fin_p, l_idx[:, None], axis=1)[:, 0]
+        at_l = jnp.take_along_axis(alpha_p, l_idx[None, :, None], axis=2)[
+            ..., 0
+        ]  # [T_pad, b_pad]
+    final = jnp.take_along_axis(
+        at_l, jnp.clip(inl - 1, 0, max_t - 1)[None, :], axis=0
+    )[0]  # [b_pad]
     return -final[:batch], alpha_p
 
 
@@ -430,11 +399,16 @@ def _nll_pallas_bwd(layout, interpret, tiles, residuals, nll_bar):
         inject_row = jnp.where(
             pos[:, None] == (tgt - 1)[None, :], -bar[None, :], 0.0
         ).astype(alpha_p.dtype)
+        inlen_b = jnp.broadcast_to(inl[None, :], (l_pad, b_pad)).astype(
+            jnp.float32
+        )
     else:
         inject_row = jnp.where(
             pos[None, :] == (tgt - 1)[:, None], -bar[:, None], 0.0
         ).astype(alpha_p.dtype)
-    inlen_b = _inlen_slab(inl, b_pad, l_pad, label_axis)
+        inlen_b = jnp.broadcast_to(inl[:, None], (b_pad, l_pad)).astype(
+            jnp.float32
+        )
     tile, chunk = _tiles_for(
         max_t, max_l, layout, interpret, tiles
     )
