@@ -213,6 +213,52 @@ def bench_blank(backend: str) -> dict | None:
             "shape": {"T": T, "B": B, "C": C, "L": L, "S": s_len}}
 
 
+def bench_train_step(backend: str) -> dict | None:
+    """Full jitted feature-mode train step (LSTM head + NoBlankCTC + backward
+    + Adam + metrics as one XLA program) — the single-chip number behind
+    SCALING_r2.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.train import trainer as tr
+
+    B, T, F, C = 256, 10, 1024, 33
+    (batch,) = synthetic_feature_batches(
+        num_batches=1, batch_size=B, temporal=T, feat_dim=F, num_classes=C,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = LSTMHead(hidden=C)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.transpose(batch["feats"], (1, 0, 2)), train=True,
+    )
+    state = tr.TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tr.torch_style_adam(1e-3),
+    )
+    step = tr.make_train_step(model)
+    rng = jax.random.PRNGKey(2)
+    try:
+        state, metrics = step(state, batch, rng)
+        jax.block_until_ready(metrics["loss"])
+        iters = 50
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch, rng)
+        jax.block_until_ready(metrics["loss"])
+        dt = (time.perf_counter() - t0) / iters
+    except Exception as e:  # pragma: no cover
+        _log(f"train-step bench failed ({e}); skipping")
+        return None
+    _log(f"train step [{backend}]: {dt*1e3:.3f} ms/step at B={B} "
+         f"-> {B/dt:.3e} clips/s")
+    return {"ms_per_step": dt * 1e3, "clips_per_s": B / dt,
+            "shape": {"B": B, "T": T, "F": F, "C": C}}
+
+
 def main():
     import jax
 
@@ -220,6 +266,7 @@ def main():
     noblank = bench_noblank(backend)
     binary = bench_binary_e2e(backend)
     blank = bench_blank(backend)
+    train = bench_train_step(backend)
     try:
         ref = bench_reference_eager()
     except Exception as e:  # pragma: no cover
@@ -232,6 +279,7 @@ def main():
         "noblank_lattice": noblank,
         "binary_e2e": binary,
         "blank_ctc": blank,
+        "train_step": train,
         "reference_eager_cells_per_s": ref,
         "methodology": "data-dependent chain, overhead-link subtracted",
     }
