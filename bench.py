@@ -111,6 +111,10 @@ def bench_noblank(backend: str) -> dict:
     T, B, L = 128, 1024, 157  # production-scale parity shape (BASELINE.json)
     rng = np.random.default_rng(0)
     em = jnp.asarray((rng.standard_normal((T, L, B)) - 1).astype(np.float32))
+    # the production losses emit the label axis padded to the sublane
+    # multiple (aligned kernel DMA, no in-VMEM widen) — feed the kernel the
+    # same; cells counted are the L real ones.
+    em_pad = jnp.pad(em, ((0, 0), (0, (-L) % 8), (0, 0)))
     in_len = jnp.asarray(rng.integers(1, T + 1, size=B))
     tgt_len = jnp.asarray(
         np.minimum(rng.integers(1, L + 1, size=B), np.asarray(in_len))
@@ -130,7 +134,9 @@ def bench_noblank(backend: str) -> dict:
             )(e)
 
         try:
-            dt, t_same, t_uniq = measure(grad_fn, em)
+            dt, t_same, t_uniq = measure(
+                grad_fn, em_pad if impl == "pallas" else em
+            )
         except Exception as e:  # pragma: no cover - kernel compile failure
             _log(f"noblank[{impl}] failed to compile ({e}); skipping")
             continue

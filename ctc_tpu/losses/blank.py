@@ -35,32 +35,50 @@ def _expand_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
     return z.at[:, 1::2].set(targets)
 
 
-def blank_emissions_and_skip(log_probs, targets, blank):
+def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
+                             layout="tbl"):
     """Gathered emissions + skip mask over the blank-expanded sequence.
 
     Args:
       log_probs: ``[T, B, C]`` log-probabilities.
       targets: ``[B, L]`` int labels.
+      pad_multiple: pad ``S`` up to a multiple of this (the TPU kernel's
+        sublane unit, 8) with trailing *blank* slots — they can never feed
+        the final cells (transitions only move to higher ``s``), their
+        backward ``g`` is exactly zero, and the gather produces the padded
+        width directly so the kernel reads aligned blocks.
+      layout: ``'tbl'`` -> em ``[T, B, S]``; ``'tlb'`` -> ``[T, S, B]``
+        (the kernel's native layout, produced by the gather directly — no
+        transpose copy).
 
     Returns:
-      ``(em [T, B, S], skip_ok [B, S])`` with ``S = 2L+1``: emissions
-      ``em[t, b, s] = log_probs[t, b, z[b, s]]`` and the skip-transition
-      permission mask (s odd, label differs from two slots back).  Shared by
-      :func:`ctc_loss` and the sequence-sharded blank mode in
-      :mod:`ctc_tpu.parallel.seq_lattice`.
+      ``(em, skip_ok [B, S])`` with ``S = 2L+1`` (padded up):
+      emissions ``em[t, b, s] = log_probs[t, b, z[b, s]]`` and the
+      skip-transition permission mask (s odd, label differs from two slots
+      back).  Shared by :func:`ctc_loss` and the sequence-sharded blank
+      mode in :mod:`ctc_tpu.parallel.seq_lattice`.
     """
     batch = targets.shape[0]
     num_classes = log_probs.shape[2]
     z = _expand_targets(jnp.mod(targets, num_classes), blank)  # [B, S]
+    pad = (-z.shape[1]) % pad_multiple
+    if pad:
+        z = jnp.pad(z, ((0, 0), (0, pad)), constant_values=blank)
     s_len = z.shape[1]
     z_prev2 = jnp.concatenate(
         [jnp.full((batch, 2), blank, z.dtype), z[:, :-2]], 1
     )
     s_idx = jnp.arange(s_len)[None, :]
     skip_ok = (s_idx >= 2) & (z != blank) & (z != z_prev2)  # [B, S]
-    em = jnp.take_along_axis(
-        log_probs[:, :, None, :], z[None, :, :, None], axis=3
-    )[..., 0]  # [T, B, S]
+    if layout == "tlb":
+        # em[t, s, b] = log_probs[t, b, z[b, s]]
+        em = jnp.take_along_axis(
+            log_probs[:, None, :, :], z.T[None, :, :, None], axis=3
+        )[..., 0]  # [T, S, B]
+    else:
+        em = jnp.take_along_axis(
+            log_probs[:, :, None, :], z[None, :, :, None], axis=3
+        )[..., 0]  # [T, B, S]
     return em, skip_ok
 
 
@@ -142,10 +160,6 @@ def ctc_loss(
     """
     max_t, batch, num_classes = logits.shape
     log_probs = jax.nn.log_softmax(logits, axis=2) if normalize else logits
-    em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
-    s_len = em.shape[2]
-    s_idx = jnp.arange(s_len)[None, :]
-
     if implementation is None:
         from ctc_tpu.ops.dispatch import _default_implementation
 
@@ -154,10 +168,14 @@ def ctc_loss(
         try:
             from ctc_tpu.ops.blank_lattice_pallas import blank_lattice_nll_pallas
 
-            # [T, B, S] -> [T, S, B]: label slots on sublanes, batch on lanes
-            # (the fast layout — S=2L+1 pads to a multiple of 8, not 128).
+            # [T, S, B] built directly: label slots on sublanes (padded to
+            # the sublane multiple with inert blank slots), batch on lanes
+            # — aligned kernel blocks, no transpose copy.
+            em_tlb, skip_ok = blank_emissions_and_skip(
+                log_probs, targets, blank, pad_multiple=8, layout="tlb"
+            )
             nll = blank_lattice_nll_pallas(
-                jnp.transpose(em, (0, 2, 1)),
+                em_tlb,
                 skip_ok,
                 input_lengths,
                 target_lengths,
@@ -178,7 +196,10 @@ def ctc_loss(
                 stacklevel=2,
             )
 
+    em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
+    s_len = em.shape[2]
     # Valid lattice columns: s < 2 * target_length + 1.
+    s_idx = jnp.arange(s_len)[None, :]
     valid = s_idx < (2 * target_lengths + 1)[:, None]  # [B, S]
     step = make_blank_step(skip_ok, valid, input_lengths, target_lengths)
     (_, final), _ = jax.lax.scan(

@@ -22,6 +22,17 @@ import jax.numpy as jnp
 
 from ctc_tpu.ops.logspace import clamped_log_sigmoid_pair
 
+_SUBLANE = 8  # TPU f32 sublane multiple (lattice kernel's tlb label unit)
+
+
+def _pad_label_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad axis 0 (label-path positions) up to the sublane multiple."""
+    l = x.shape[0]
+    pad = (-l) % _SUBLANE
+    if pad == 0:
+        return x
+    return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
 
 def gather_log_softmax_emissions(
     logits: jnp.ndarray, paths: jnp.ndarray, *, layout: str = "tbl"
@@ -47,10 +58,17 @@ def gather_log_softmax_emissions(
     log_probs = jax.nn.log_softmax(logits, axis=2)  # [T, B, C]
     idx = jnp.mod(paths, num_classes)  # [B, L]
     if layout == "tlb":
-        # em[t, l, b] = log_probs[t, b, idx[b, l]]
+        # The label axis is padded to the kernel's sublane multiple HERE —
+        # the gather produces the padded width directly (cost ∝ output
+        # rows), so the kernel reads aligned blocks and skips its per-step
+        # in-VMEM widen copy; padded rows are outside-masked in the DP and
+        # their gradient is exactly zero, so the scatter-add back into
+        # log_probs is a no-op for them.
+        idx_p = _pad_label_rows(idx.T)  # [L_pad, B]
+        # em[t, l, b] = log_probs[t, b, idx_p[l, b]]
         return jnp.take_along_axis(
             log_probs[:, None, :, :],  # [T, 1, B, C]
-            idx.T[None, :, :, None],  # [1, L, B, 1]
+            idx_p[None, :, :, None],  # [1, L_pad, B, 1]
             axis=3,
         )[..., 0]
     # Gather along the class axis: em[t, b, l] = log_probs[t, b, idx[b, l]].
@@ -89,8 +107,14 @@ def binary_ce_emissions(
     base = jnp.sum(log_1mp, axis=2)  # [T, B]
     # MXU-friendly batched contraction over the class axis.
     if layout == "tlb":
+        # pad the path axis to the kernel's sublane multiple (see the
+        # gather builder): zero path rows contract to zero, the base
+        # broadcast fills them, and they are outside-masked in the DP.
+        paths_p = jnp.transpose(
+            _pad_label_rows(jnp.transpose(paths, (1, 0, 2))), (1, 0, 2)
+        )
         pos = jnp.einsum(
-            "blc,tbc->tlb", paths, diff, preferred_element_type=jnp.float32
+            "blc,tbc->tlb", paths_p, diff, preferred_element_type=jnp.float32
         )
         return (pos + base[:, None, :]) / num_classes
     pos = jnp.einsum(

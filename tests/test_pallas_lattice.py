@@ -133,13 +133,16 @@ def test_emission_builders_layouts_agree(rng):
 
     e_tbl = gather_log_softmax_emissions(logits, paths)
     e_tlb = gather_log_softmax_emissions(logits, paths, layout="tlb")
+    # tlb pads the label axis to the sublane multiple (8): the first L rows
+    # are the transpose of tbl; padded rows are outside-masked in the DP.
+    assert e_tlb.shape == (T, 8, B)
     np.testing.assert_array_equal(
-        np.asarray(e_tlb), np.asarray(jnp.transpose(e_tbl, (0, 2, 1)))
+        np.asarray(e_tlb[:, :L]), np.asarray(jnp.transpose(e_tbl, (0, 2, 1)))
     )
     b_tbl = binary_ce_emissions(logits, mh)
     b_tlb = binary_ce_emissions(logits, mh, layout="tlb")
     np.testing.assert_allclose(
-        np.asarray(b_tlb), np.asarray(jnp.transpose(b_tbl, (0, 2, 1))),
+        np.asarray(b_tlb[:, :L]), np.asarray(jnp.transpose(b_tbl, (0, 2, 1))),
         rtol=1e-6, atol=1e-6,
     )
 
