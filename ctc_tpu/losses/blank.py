@@ -71,10 +71,18 @@ def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
     s_idx = jnp.arange(s_len)[None, :]
     skip_ok = (s_idx >= 2) & (z != blank) & (z != z_prev2)  # [B, S]
     if layout == "tlb":
-        # em[t, s, b] = log_probs[t, b, z[b, s]]
-        em = jnp.take_along_axis(
-            log_probs[:, None, :, :], z.T[None, :, :, None], axis=3
-        )[..., 0]  # [T, S, B]
+        # em[t, s, b] = log_probs[t, b, z[b, s]] as a one-hot contraction:
+        # the batched [T,C]x[C,S] matmul rides the MXU and — decisively —
+        # its transpose in the backward pass is another matmul, where the
+        # gather's backward is an XLA scatter-add into [T, B, C] (measured
+        # 1.76x slower end-to-end on the chip, probe_blank_e2e.py).
+        # Precision.HIGHEST keeps the f32 log-probs exact through the MXU's
+        # bf16 passes (one-hot rows make every product a pass-through).
+        onehot = jax.nn.one_hot(z, num_classes, dtype=log_probs.dtype)
+        em = jnp.einsum(
+            "tbc,bsc->tsb", log_probs, onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [T, S, B]
     else:
         em = jnp.take_along_axis(
             log_probs[:, :, None, :], z[None, :, :, None], axis=3

@@ -268,7 +268,7 @@ def _run_forward(emissions, skip_ok, input_lengths, target_lengths, layout,
     max_s = emissions.shape[1 + label_axis]
     batch = emissions.shape[2 - label_axis]
     l_pad = _round_up(max_s, _SUBLANE if layout == "tlb" else _LANE)
-    tile, chunk = _tiles_for(max_t, max_s, layout, interpret, tiles)
+    tile, chunk = _tiles_for(max_t, max_s, layout, interpret, tiles, batch)
     t_pad = _round_up(max_t, chunk)
     b_pad = _round_up(batch, tile)
     em_p = _pad_tb(emissions, t_pad, b_pad, label_axis, 0.0)
@@ -370,7 +370,7 @@ def _nll_pallas_bwd(layout, interpret, tiles, residuals, nll_bar):
         inlen_b = jnp.broadcast_to(inl[:, None], (b_pad, l_pad)).astype(
             jnp.float32
         )
-    tile, chunk = _tiles_for(max_t, max_s, layout, interpret, tiles)
+    tile, chunk = _tiles_for(max_t, max_s, layout, interpret, tiles, batch)
     g_p = _backward_padded(
         alpha_p, skip_p, inject, inlen_b, max_s=max_s, tile=tile, chunk=chunk,
         label_axis=label_axis, interpret=interpret,

@@ -84,18 +84,35 @@ def _narrow(x, l_out, label_axis):
     return x[:l_out] if label_axis == 0 else x[:, :l_out]
 
 
-def _choose_tiles(max_t: int, max_l: int, layout: str) -> tuple[int, int]:
+def _choose_tiles(max_t: int, max_l: int, layout: str,
+                  batch: int) -> tuple[int, int]:
     """(batch_tile, t_chunk): widest batch tile whose pipeline fits VMEM.
 
     Prefers batch-tile width (more VPU work per scan step) over chunk depth;
     chunk depth only needs to be large enough for reasonable DMA granularity.
     """
     l_pad = _round_up(max_l, _SUBLANE if layout == "tlb" else _LANE)
-    # tlb: tile=128 measured fastest at the bench shape (probe_roofline.py:
-    # (128,16) 1.047 ms vs (256,16) 1.093 / (512,8) 1.173 fwd+bwd) — smaller
-    # tiles give the pipeline finer DMA granularity; one v5e core means tile
-    # count adds no parallelism.
-    tiles = (128, 256, 512) if layout == "tlb" else (128, 64, 32, 16, 8)
+    if layout == "tlb":
+        # Scale the batch tile inversely with the slab height so every scan
+        # step keeps ~20 vregs (tile * l_pad ≈ 128 lanes * 160 sublanes) of
+        # VPU work — enough to amortize the per-step fixed costs (rolls,
+        # loop overhead, DMA granularity).  At l_pad=160 that is tile=128,
+        # measured fastest at the no-blank bench shape (probe_roofline.py:
+        # (128,16) 1.047 ms vs (256,16) 1.093 / (512,8) 1.173 fwd+bwd); at
+        # the blank kernel's l_pad=48, tile=512 is ~25% faster than 128
+        # (probe_blank_tiles.py: 1.09 ms vs 1.41 ms fwd+bwd).  Larger tiles
+        # past that point stop helping — one v5e core means tile count adds
+        # no parallelism — so clamp at 512.
+        ideal = 128 * -(-(_LANE * 160 // l_pad) // _LANE)  # ceil to 128
+        # Never exceed the (128-rounded) batch: a tile wider than the batch
+        # pads B up to the tile and burns the surplus on dead lanes (seen as
+        # a 2x train-step regression at B=256 with tile=512).
+        cap = max(128, min(512, _round_up(batch, 128)))
+        ideal = max(128, min(cap, ideal))
+        # ideal first; if it overflows VMEM only *smaller* tiles can fit.
+        tiles = (ideal,) + tuple(t for t in (512, 256, 128) if t < ideal)
+    else:
+        tiles = (128, 64, 32, 16, 8)
     for tile in tiles:
         for chunk in (16, 32, 8):
             blocks = 4 * chunk * tile * l_pad * 4  # double-buffered in+out
@@ -302,14 +319,14 @@ def _masks(input_lengths, target_lengths, b_pad, l_pad, label_axis):
     return outside, tgt, inl
 
 
-def _tiles_for(max_t, max_l, layout, interpret, override):
+def _tiles_for(max_t, max_l, layout, interpret, override, batch):
     if override is not None:
         return override
     if interpret:
         # interpret mode (CPU tests): smallest tile, single chunk — padding
         # rows and extra grid steps are pure interpreted-python waste.
         return _B_TILE, _round_up(max_t, _SUBLANE)
-    return _choose_tiles(max_t, max_l, layout)
+    return _choose_tiles(max_t, max_l, layout, batch)
 
 
 def _run_forward(emissions, input_lengths, target_lengths, layout, interpret,
@@ -319,7 +336,7 @@ def _run_forward(emissions, input_lengths, target_lengths, layout, interpret,
     max_l = emissions.shape[1 + label_axis]
     batch = emissions.shape[2 - label_axis]
     l_pad = _round_up(max_l, _SUBLANE if layout == "tlb" else _LANE)
-    tile, chunk = _tiles_for(max_t, max_l, layout, interpret, tiles)
+    tile, chunk = _tiles_for(max_t, max_l, layout, interpret, tiles, batch)
     t_pad = _round_up(max_t, chunk)
     b_pad = _round_up(batch, tile)
     # label axis stays unpadded — the kernel widens it in VMEM (no HBM pad
@@ -410,7 +427,7 @@ def _nll_pallas_bwd(layout, interpret, tiles, residuals, nll_bar):
             jnp.float32
         )
     tile, chunk = _tiles_for(
-        max_t, max_l, layout, interpret, tiles
+        max_t, max_l, layout, interpret, tiles, batch
     )
     g_p = _backward_padded(
         alpha_p, inject_row, inlen_b, inside, max_l=max_l, tile=tile,
