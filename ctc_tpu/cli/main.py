@@ -44,6 +44,24 @@ def main(argv=None):
 
         init_distributed(cfg.coordinator, cfg.num_hosts, cfg.host_id)
 
+    # data-parallel mesh (reference DDP wrap, models/__init__.py:33-43):
+    # --data-parallel N shards batches over an N-device 'data' axis with
+    # pmean gradient exchange; multi-host runs REQUIRE it so per-host models
+    # can never silently train unsynced
+    mesh = None
+    if cfg.data_parallel is not None or cfg.distributed:
+        from ctc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=cfg.data_parallel)  # None = all devices
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data:
+            raise SystemExit(
+                f"--batch-size {cfg.batch_size} must be divisible by the "
+                f"data-parallel axis ({n_data} devices)"
+            )
+        print(f"data-parallel: {n_data}-way mesh "
+              f"({jax.process_count()} hosts, {jax.device_count()} devices)")
+
     train_batches, val_batches = get_dataset(cfg)
 
     pixels = cfg.dataset.endswith("_pixels")
@@ -79,6 +97,11 @@ def main(argv=None):
             if pixels else None
         ),
         transition_metrics=cfg.transition_metrics,
+        mesh=mesh,
+        skip_nonfinite=cfg.skip_nonfinite,
+        grad_norm_freq=cfg.grad_norm_freq,
+        seq_parallel=cfg.seq_parallel,
+        seq_microbatches=cfg.seq_microbatches,
     )
 
     state = trainer.init_state(train_batches[0])
@@ -197,6 +220,7 @@ def main(argv=None):
         state=state,
         start_epoch=start_epoch,
         video_eval=video_eval,
+        max_restarts=cfg.max_restarts,
     )
     print(f"done: best val top1 "
           f"{max(h['val']['top1'] for h in history):.3f}")

@@ -74,6 +74,17 @@ class Config:
     coordinator: str = ""
     data_parallel: int | None = None  # mesh data axis (None = all devices)
     model_parallel: int = 1
+    # long-T lattice pipelining (SURVEY.md §5.7): shard the loss's T axis
+    # over N devices; microbatches ≥ N shrink the pipeline bubble
+    seq_parallel: int = 0
+    seq_microbatches: int = 0
+
+    # training-health guards + crash recovery (SURVEY.md §5.1-§5.3; the
+    # reference's closest artifacts are the unwired VerboseGradients and the
+    # pdb post-mortem harness, ctc_exe.py:28-36)
+    max_restarts: int = 0       # crash auto-resume: restore ckpt + continue
+    skip_nonfinite: bool = False  # drop NaN/Inf updates instead of applying
+    grad_norm_freq: int = 0     # log global grad norm every N optimizer steps
 
     # loss/kernel selection (new)
     loss: str = "noblank"  # noblank | binary | blank | ce | bce | mlce
@@ -122,7 +133,10 @@ def parse(argv=None) -> Config:
         if f.type == "bool" or isinstance(f.default, bool):
             parser.add_argument(flag, action="store_true", default=f.default)
         else:
-            typ = type(f.default) if f.default is not None else str
+            # None-defaulted optional ints (e.g. --data-parallel) must still
+            # parse as ints, not strings
+            typ = (type(f.default) if f.default is not None
+                   else (int if "int" in str(f.type) else str))
             parser.add_argument(flag, type=typ, default=f.default)
     ns = parser.parse_args(argv)
     cfg = Config(**{f.name: getattr(ns, f.name)

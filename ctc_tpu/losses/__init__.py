@@ -22,6 +22,31 @@ from ctc_tpu.losses.classification import (
     bce_with_logits,
 )
 
+def _final_step(core):
+    """Adapt a final-timestep classification loss to the lattice-loss call
+    signature, for the CE-style prediction datasets (charades_ver3 and kin,
+    reference datasets/charades_ver3.py:516-526: the target is ONE future
+    o/v vector, not a lattice path)."""
+
+    def fn(logits, paths, input_lengths, target_lengths,
+           implementation=None, interpret=False):
+        del input_lengths, target_lengths, implementation, interpret
+        return core(logits[-1], paths)
+
+    return fn
+
+
+#: loss-kind registry shared by the single-device and sharded train/eval
+#: steps (the capability table of reference models/__init__.py:82-86)
+LOSS_FNS = {
+    "noblank": no_blank_ctc_loss,
+    "binary": no_blank_binary_ctc_loss,
+    "blank": ctc_loss,
+    "ce": _final_step(cross_entropy),
+    "bce": _final_step(bce_with_logits),
+    "mlce": _final_step(multilabel_cross_entropy),
+}
+
 __all__ = [
     "no_blank_ctc_loss",
     "no_blank_binary_ctc_loss",
@@ -29,4 +54,5 @@ __all__ = [
     "multilabel_cross_entropy",
     "cross_entropy",
     "bce_with_logits",
+    "LOSS_FNS",
 ]

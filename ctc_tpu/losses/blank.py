@@ -15,9 +15,13 @@ torch.nn.CTCLoss to float tolerance):
   :mod:`ctc_tpu.ops.blank_lattice_pallas` (alpha chunked through VMEM,
   analytic backward).  Default on TPU backends.
 
-The emission gather (``em[t, b, s] = log_probs[t, b, z[b, s]]``) and the
-log-softmax stay in XLA in both cases, so d(loss)/d(logits) flows through
-XLA's scatter-add regardless of implementation.
+The emission build (``em[t, b, s] = log_probs[t, b, z[b, s]]``) and the
+log-softmax stay in XLA in both cases.  For ``layout='tlb'`` (the Pallas
+default) the build is a one-hot MXU einsum whose backward is another
+matmul; for ``'tbl'`` (the XLA scan path) it is a gather whose backward
+is XLA's scatter-add.  Above a one-hot-size threshold the tlb path falls
+back to gather+transpose (the einsum's [B, S, C] one-hot scales linearly
+with vocabulary).
 """
 
 from __future__ import annotations
@@ -70,7 +74,7 @@ def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
     )
     s_idx = jnp.arange(s_len)[None, :]
     skip_ok = (s_idx >= 2) & (z != blank) & (z != z_prev2)  # [B, S]
-    if layout == "tlb":
+    if layout == "tlb" and batch * s_len * num_classes * 4 <= 512 * 2**20:
         # em[t, s, b] = log_probs[t, b, z[b, s]] as a one-hot contraction:
         # the batched [T,C]x[C,S] matmul rides the MXU and — decisively —
         # its transpose in the backward pass is another matmul, where the
@@ -78,6 +82,9 @@ def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
         # 1.76x slower end-to-end on the chip, probe_blank_e2e.py).
         # Precision.HIGHEST keeps the f32 log-probs exact through the MXU's
         # bf16 passes (one-hot rows make every product a pass-through).
+        # Gated on the one-hot's size (f32 [B, S, C]): at dictionary-scale
+        # vocabularies (e.g. C=10k, B=256, S=201 -> ~2 GB) it falls through
+        # to the gather below instead.
         onehot = jax.nn.one_hot(z, num_classes, dtype=log_probs.dtype)
         em = jnp.einsum(
             "tbc,bsc->tsb", log_probs, onehot,
@@ -87,6 +94,8 @@ def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
         em = jnp.take_along_axis(
             log_probs[:, :, None, :], z[None, :, :, None], axis=3
         )[..., 0]  # [T, B, S]
+        if layout == "tlb":
+            em = jnp.transpose(em, (0, 2, 1))  # [T, S, B]
     return em, skip_ok
 
 

@@ -40,6 +40,7 @@ def no_blank_ctc_loss(
     *,
     reduction: str = "mean",
     implementation: str | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Blank-free CTC NLL over single-label class-index paths.
 
@@ -54,12 +55,13 @@ def no_blank_ctc_loss(
       target_lengths: ``[B]`` valid path length per sample.
       reduction: ``'mean'`` (reference default), ``'sum'`` or ``'none'``.
       implementation: ``'xla'``, ``'pallas'`` or None (auto by backend).
+      interpret: run the Pallas kernel in interpret mode (CPU testing).
     """
     layout = dispatch.preferred_layout(implementation)
     emissions = gather_log_softmax_emissions(logits, paths, layout=layout)
     nll = dispatch.lattice_nll(
         emissions, input_lengths, target_lengths,
-        implementation=implementation, layout=layout,
+        implementation=implementation, layout=layout, interpret=interpret,
     )
     return _reduce(nll, reduction)
 
@@ -72,6 +74,7 @@ def no_blank_binary_ctc_loss(
     *,
     reduction: str = "mean",
     implementation: str | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-label blank-free CTC NLL with BCE emissions.
 
@@ -89,6 +92,6 @@ def no_blank_binary_ctc_loss(
     emissions = binary_ce_emissions(logits, paths, layout=layout)
     nll = dispatch.lattice_nll(
         emissions, input_lengths, target_lengths,
-        implementation=implementation, layout=layout,
+        implementation=implementation, layout=layout, interpret=interpret,
     )
     return _reduce(nll, reduction)

@@ -11,8 +11,10 @@ Differences from the no-blank kernel:
 
 * the lattice runs over the blank-expanded sequence ``z = [b, l1, b, ..., b]``
   of width ``S = 2L+1``; emissions ``em[t, b, s] = log_probs[t, b, z[b, s]]``
-  are gathered in XLA (the emission->logits chain rule therefore stays in
-  XLA autodiff — only the O(T*S) DP is hand-differentiated).
+  are built in XLA — a one-hot MXU einsum in the kernel's native 'tlb'
+  layout, a gather for 'tbl' (see losses/blank.py) — so the
+  emission->logits chain rule stays in XLA autodiff and only the O(T*S)
+  DP is hand-differentiated.
 * a third *skip* transition ``alpha[t-1, s-2]`` gated by a per-(b, s) mask
   (``s`` odd, label differs from the one two slots back) — passed in as a
   slab operand like the no-blank kernel's ``outside`` mask.

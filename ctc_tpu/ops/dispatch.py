@@ -39,12 +39,13 @@ def preferred_layout(implementation: str | None) -> str:
 
 def lattice_nll(
     emissions, input_lengths, target_lengths, *, implementation=None,
-    layout: str = "tbl",
+    layout: str = "tbl", interpret: bool = False,
 ):
     """Per-sample blank-free lattice NLL ``[B]``.
 
     ``emissions`` are ``[T, B, L]`` for ``layout='tbl'`` or ``[T, L, B]``
-    for ``'tlb'``.
+    for ``'tlb'``.  ``interpret`` runs the Pallas kernel in interpret mode
+    (CPU parity testing only).
     """
     implementation = resolve_implementation(implementation)
     if implementation == "xla":
@@ -55,6 +56,7 @@ def lattice_nll(
         from ctc_tpu.ops.lattice_pallas import noblank_lattice_nll_pallas
 
         return noblank_lattice_nll_pallas(
-            emissions, input_lengths, target_lengths, layout=layout
+            emissions, input_lengths, target_lengths, layout=layout,
+            interpret=interpret,
         )
     raise ValueError(f"unknown lattice implementation {implementation!r}")

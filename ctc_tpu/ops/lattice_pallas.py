@@ -103,12 +103,18 @@ def _choose_tiles(max_t: int, max_l: int, layout: str,
         # (probe_blank_tiles.py: 1.09 ms vs 1.41 ms fwd+bwd).  Larger tiles
         # past that point stop helping — one v5e core means tile count adds
         # no parallelism — so clamp at 512.
-        ideal = 128 * -(-(_LANE * 160 // l_pad) // _LANE)  # ceil to 128
-        # Never exceed the (128-rounded) batch: a tile wider than the batch
-        # pads B up to the tile and burns the surplus on dead lanes (seen as
-        # a 2x train-step regression at B=256 with tile=512).
-        cap = max(128, min(512, _round_up(batch, 128)))
-        ideal = max(128, min(cap, ideal))
+        # Tile widths come from the PROBED set {128, 256, 512} only — the
+        # remote Mosaic compiler is fragile at unprobed configurations
+        # (HTTP-500s/hangs, CLAUDE.md), so never synthesize e.g. 384.
+        raw = _LANE * 160 // l_pad  # the ~20-vreg target
+        ideal = next((t for t in (128, 256, 512) if t >= raw), 512)
+        # Never exceed the batch (rounded DOWN to the nearest probed width):
+        # a tile wider than the batch pads B up to the tile and burns the
+        # surplus on dead lanes (seen as a 2x train-step regression at
+        # B=256 with tile=512).
+        b128 = _round_up(batch, 128)
+        cap = next((t for t in (512, 256, 128) if t <= b128), 128)
+        ideal = min(cap, ideal)
         # ideal first; if it overflows VMEM only *smaller* tiles can fit.
         tiles = (ideal,) + tuple(t for t in (512, 256, 128) if t < ideal)
     else:

@@ -42,17 +42,27 @@ except AttributeError:  # pragma: no cover
 SEQ_AXIS = "seq"
 
 
-def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis):
-    """The shard-local carry-passing pipeline over n microbatches.
+def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
+                  num_microbatches=None):
+    """The shard-local carry-passing pipeline over m microbatches.
 
     ``em [t_shard, B, W]`` are this shard's emissions; ``make_mb_step(m_idx)``
     builds the per-timestep scan body (one of the shared lattice steps,
     closed over microbatch-m slices of the length/mask operands) taking
-    global timesteps; ``init_alpha [B/n, W]`` is the virtual alpha(-1) row
+    global timesteps; ``init_alpha [B/m, W]`` is the virtual alpha(-1) row
     entering shard 0.  Returns the psum-combined per-sample ``final [B]``.
+
+    ``num_microbatches`` (m, default n) is an independent knob: the
+    pipeline runs m + n - 1 ticks for m ticks of useful work per shard, so
+    the fill/drain bubble is (n-1)/(m+n-1) — raise m above the shard count
+    to amortize it (m=n: ~47% idle at n=8; m=4n: ~16%).
     """
     t_shard, batch, _ = em.shape
-    mb = batch // n
+    m_count = num_microbatches or n
+    assert batch % m_count == 0, (
+        f"batch {batch} not divisible by num_microbatches {m_count}"
+    )
+    mb = batch // m_count
     t_offset = k * t_shard
     t_global = t_offset + jnp.arange(t_shard)
     boundary = init_alpha
@@ -61,8 +71,8 @@ def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis):
     def pipeline_step(s, carry):
         boundary, finals = carry
         m = s - k  # microbatch index at this shard this tick
-        active = (m >= 0) & (m < n)
-        m_idx = jnp.clip(m, 0, n - 1)
+        active = (m >= 0) & (m < m_count)
+        m_idx = jnp.clip(m, 0, m_count - 1)
         em_mb = jax.lax.dynamic_slice(
             em, (0, m_idx * mb, 0), (t_shard, mb, em.shape[2])
         )
@@ -87,14 +97,15 @@ def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis):
         return boundary, finals
 
     _, finals = jax.lax.fori_loop(
-        0, 2 * n - 1, pipeline_step, (boundary, finals)
+        0, m_count + n - 1, pipeline_step, (boundary, finals)
     )
     # each sample's final was accumulated on exactly one shard
     return jax.lax.psum(finals, seq_axis)
 
 
 def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
-                                 seq_axis: str = SEQ_AXIS, blank: int = 0):
+                                 seq_axis: str = SEQ_AXIS, blank: int = 0,
+                                 num_microbatches: int | None = None):
     """Build a jitted sequence-sharded per-sample NLL ``[B]``.
 
     The per-shard scan reuses the same step functions as the unsharded
@@ -103,24 +114,32 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
     (boundary ppermute, microbatching, psum extraction) lives here.
 
     Modes / signatures of the returned function (leading axis T is split
-    over ``seq_axis``; batch must be divisible by the axis size):
+    over ``seq_axis``; batch must be divisible by ``num_microbatches``,
+    default = the axis size):
 
     * ``'noblank'``: ``(emissions [T, B, L], input_lengths, target_lengths)``
+    * ``'noblank_logits'``: ``(logits [T, B, C], paths [B, L] int,
+      input_lengths, target_lengths)`` — NoBlankCTC semantics with the
+      log-softmax emission gather computed *shard-locally* (the Trainer's
+      long-T path; /root/reference/NoBlankCTC.py:129-141).
     * ``'binary'``:  ``(logits [T, B, C], paths [B, L, C], input_lengths,
       target_lengths)`` — BCE emissions (NoBlankBinaryCTC semantics,
       /root/reference/NoBlankBinaryCTC.py:108-121) are computed
-      *shard-locally* from the logits shard via
+      shard-locally from the logits shard via
       :func:`ctc_tpu.ops.emissions.binary_ce_emissions`.
     * ``'blank'``:   ``(logits [T, B, C], targets [B, L], input_lengths,
       target_lengths)`` — torch.nn.CTCLoss semantics; log-softmax and the
       emission gather are shard-local.
+
+    ``num_microbatches`` ≥ the shard count shrinks the pipeline
+    fill/drain bubble from (n-1)/(2n-1) to (n-1)/(m+n-1).
     """
     n = mesh.shape[seq_axis]
 
     def _noblank_local(em, input_lengths, target_lengths):
         k = jax.lax.axis_index(seq_axis)
         t_shard, batch, max_l = em.shape
-        mb = batch // n
+        mb = batch // (num_microbatches or n)
         outside = jnp.arange(max_l)[None, :] >= target_lengths[:, None]
         last_pos = jnp.clip(target_lengths - 1, 0, max_l - 1)[:, None]
 
@@ -134,11 +153,18 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
         init_alpha = (
             jnp.full((mb, max_l), NEG_SENTINEL, em.dtype).at[:, 0].set(0.0)
         )
-        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis)
+        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
+                              num_microbatches)
         return -final
 
     def _binary_local(logits, paths, input_lengths, target_lengths):
         em = binary_ce_emissions(logits, paths)  # shard-local [T/n, B, L]
+        return _noblank_local(em, input_lengths, target_lengths)
+
+    def _noblank_logits_local(logits, paths, input_lengths, target_lengths):
+        from ctc_tpu.ops.emissions import gather_log_softmax_emissions
+
+        em = gather_log_softmax_emissions(logits, paths)  # [T/n, B, L]
         return _noblank_local(em, input_lengths, target_lengths)
 
     def _blank_local(logits, targets, input_lengths, target_lengths):
@@ -146,7 +172,7 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
         log_probs = jax.nn.log_softmax(logits, axis=2)
         em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
         t_shard, batch, s_len = em.shape
-        mb = batch // n
+        mb = batch // (num_microbatches or n)
         valid = (
             jnp.arange(s_len)[None, :] < (2 * target_lengths + 1)[:, None]
         )
@@ -160,11 +186,14 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
             )
 
         init_alpha = blank_alpha_init(mb, s_len, em.dtype)
-        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis)
+        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
+                              num_microbatches)
         return -final
 
     if mode == "noblank":
         local, in_specs = _noblank_local, (P(seq_axis), P(), P())
+    elif mode == "noblank_logits":
+        local, in_specs = _noblank_logits_local, (P(seq_axis), P(), P(), P())
     elif mode == "binary":
         local, in_specs = _binary_local, (P(seq_axis), P(), P(), P())
     elif mode == "blank":
@@ -180,6 +209,40 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_seq_sharded_loss(mesh, loss_kind: str, *, seq_axis: str = SEQ_AXIS,
+                          num_microbatches: int | None = None,
+                          blank: int = 0):
+    """A drop-in replacement for the :mod:`ctc_tpu.losses` entry points with
+    the lattice's T axis pipelined over the mesh's ``seq`` axis — the
+    Trainer's long-T option (``--seq-parallel``).
+
+    Same call signature and reference reductions as the unsharded losses:
+    noblank / binary = batch mean (/root/reference/NoBlankCTC.py:139-141),
+    blank = torch 'mean' (per-sample NLL / target_length, batch mean).
+    Gradients flow through the pipeline (ppermute/psum transposes);
+    parity-tested against the unsharded custom_vjp in
+    tests/test_seq_lattice.py.
+    """
+    mode = {"noblank": "noblank_logits", "binary": "binary",
+            "blank": "blank"}[loss_kind]
+    nll_fn = make_seq_sharded_lattice_nll(
+        mesh, mode=mode, seq_axis=seq_axis,
+        num_microbatches=num_microbatches, blank=blank,
+    )
+
+    def loss_fn(logits, paths, input_lengths, target_lengths,
+                implementation=None, interpret=False):
+        del implementation, interpret  # per-shard scans are XLA
+        nll = nll_fn(logits, paths, input_lengths, target_lengths)
+        if loss_kind == "blank":
+            return jnp.mean(
+                nll / jnp.maximum(target_lengths, 1).astype(nll.dtype)
+            )
+        return jnp.mean(nll)
+
+    return loss_fn
 
 
 def make_seq_sharded_greedy_decode(mesh, *, seq_axis: str = SEQ_AXIS,

@@ -27,16 +27,27 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-_LOSS_FNS = {
-    "noblank": losses.no_blank_ctc_loss,
-    "binary": losses.no_blank_binary_ctc_loss,
-    "blank": losses.ctc_loss,
-}
+_LOSS_FNS = losses.LOSS_FNS
 
 
 def shard_batch(batch: dict, mesh) -> dict:
-    """Place a host batch dict on the mesh, batch axis split over ``data``."""
+    """Place a host batch dict on the mesh, batch axis split over ``data``.
+
+    Multi-host: each host passes its *local* batch (the loaders already
+    shard samples by ``jax.process_index``) and the global array is
+    assembled from the per-host shards — the jax-native replacement for the
+    reference's DistributedSampler (/root/reference/datasets/__init__.py:17-20).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), sharding), batch
     )
@@ -51,16 +62,26 @@ def replicate(tree, mesh):
 
 
 def make_sharded_train_step(
-    model, mesh, loss_kind: str = "noblank", implementation=None
+    model, mesh, loss_kind: str = "noblank", implementation=None,
+    ce_weight: float = 0.0, interpret: bool = False,
 ):
     """Jitted train step with per-shard forward/backward and explicit
     ``lax.pmean`` gradient + metric exchange over the ``data`` axis.
 
     Use with a :class:`ctc_tpu.train.trainer.TrainState` whose params are
     replicated (:func:`replicate`) and batches placed by :func:`shard_batch`.
+
+    ``implementation``/``interpret`` select the lattice kernel exactly like
+    the unsharded step (Pallas on TPU by default; ``interpret=True`` runs
+    the Pallas kernel in interpret mode for CPU-mesh parity tests) and
+    ``ce_weight`` adds the reference's ``--alpha``-scaled final-step
+    cross-entropy term, so the sharded step covers every configuration the
+    single-device step does.
     """
     loss_fn_core = _LOSS_FNS[loss_kind]
-    kwargs = {} if loss_kind == "blank" else {"implementation": implementation}
+    kwargs = {"implementation": implementation}
+    if interpret:
+        kwargs["interpret"] = True
     # cross-replica (sync) BatchNorm so sharded training matches the
     # single-device batch statistics exactly
     if getattr(model, "bn_axis_name", None) is None and hasattr(model, "clone"):
@@ -70,7 +91,10 @@ def make_sharded_train_step(
             pass
 
     def local_step(params, batch_stats, batch, rng):
-        feats = jnp.transpose(batch["feats"], (1, 0, 2))  # [T, Blocal, F]
+        feats = batch["feats"]
+        if feats.ndim == 3:  # [Blocal, T, F] features -> time-major
+            feats = jnp.transpose(feats, (1, 0, 2))
+        # higher-rank pixel clips stay batch-major (I3DLSTM's own layout)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
         def loss_of(p):
@@ -88,6 +112,10 @@ def make_sharded_train_step(
                 batch["target_lengths"],
                 **kwargs,
             )
+            if ce_weight:
+                loss = loss + ce_weight * losses.cross_entropy(
+                    logits[-1], batch["future_target"]
+                )
             return loss, (mutated["batch_stats"], logits)
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(

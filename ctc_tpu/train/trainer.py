@@ -102,33 +102,12 @@ def _model_input(x):
     return jnp.transpose(x, (1, 0, 2)) if x.ndim == 3 else x
 
 
-def _final_step_loss(core):
-    """Adapt a final-timestep classification loss to the lattice-loss call
-    signature, for the CE-style prediction datasets (charades_ver3 and kin,
-    reference datasets/charades_ver3.py:516-526: the target is ONE future
-    o/v vector, not a lattice path)."""
-
-    def fn(logits, paths, input_lengths, target_lengths, implementation=None):
-        del input_lengths, target_lengths, implementation
-        return core(logits[-1], paths)
-
-    return fn
-
-
-_LOSS_FNS = {
-    "noblank": losses.no_blank_ctc_loss,
-    "binary": losses.no_blank_binary_ctc_loss,
-    "blank": losses.ctc_loss,
-    # final-step classification (the reference's stock/custom losses,
-    # models/__init__.py:85-86 and CrossEntropy.py)
-    "ce": _final_step_loss(losses.cross_entropy),
-    "bce": _final_step_loss(losses.bce_with_logits),
-    "mlce": _final_step_loss(losses.multilabel_cross_entropy),
-}
+# loss-kind registry shared with the sharded step (models/__init__.py:82-86)
+_LOSS_FNS = losses.LOSS_FNS
 
 
 def make_train_step(model, loss_kind: str = "noblank", implementation=None,
-                    ce_weight: float = 0.0):
+                    ce_weight: float = 0.0, loss_fn=None):
     """Build the jitted train step.
 
     Batch dict (host layout, batch-major):
@@ -139,8 +118,11 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
     ``ce_weight`` > 0 adds a cross-entropy term on the final timestep vs the
     future target, scaled by the reference's ``--alpha`` (opts.py:74,
     Trainer.train's CE-vs-CTC mixing scale).
+
+    ``loss_fn`` overrides the registry lookup (e.g. the sequence-sharded
+    lattice loss from :func:`ctc_tpu.parallel.seq_lattice.make_seq_sharded_loss`).
     """
-    loss_fn_core = _LOSS_FNS[loss_kind]
+    loss_fn_core = loss_fn if loss_fn is not None else _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
 
     @jax.jit
@@ -183,7 +165,7 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
 
 
 def make_eval_step(model, loss_kind: str = "noblank", implementation=None,
-                   transition_metrics: bool = False):
+                   transition_metrics: bool = False, loss_fn=None):
     """Build the jitted eval step.
 
     ``transition_metrics=True`` additionally reports the DTW transition
@@ -194,7 +176,7 @@ def make_eval_step(model, loss_kind: str = "noblank", implementation=None,
     as ``trans_top{1,5}`` / ``recall_top{1,5}``.  Integer paths are
     one-hotted to the multi-hot form the matcher walks.
     """
-    loss_fn_core = _LOSS_FNS[loss_kind]
+    loss_fn_core = loss_fn if loss_fn is not None else _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
 
     @jax.jit
@@ -265,7 +247,30 @@ class Trainer:
         val_size: float = 1.0,
         i3d_optimizer: dict | None = None,
         transition_metrics: bool = False,
+        mesh=None,
+        skip_nonfinite: bool = False,
+        grad_norm_freq: int = 0,
+        seq_parallel: int = 0,
+        seq_microbatches: int = 0,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis — the
+        trainer then runs the shard_map train step with explicit
+        ``lax.pmean`` gradient exchange and shards every batch over the
+        mesh (the product wiring of SURVEY.md §2.5 data parallelism; the
+        reference's DDP wrap, models/__init__.py:33-43).
+
+        ``skip_nonfinite``: wrap the optimizer in
+        :func:`ctc_tpu.train.guards.skip_nonfinite_updates` — NaN/Inf
+        updates are dropped instead of poisoning params (§5.2).
+
+        ``grad_norm_freq`` > 0: log the global gradient norm every that
+        many optimizer steps (the reference's VerboseGradients intent,
+        models/layers/VerboseGradients.py:15-25, wired in).
+
+        ``seq_parallel`` > 1: pipeline the lattice's T axis over that many
+        devices (the long-T strategy of SURVEY.md §5.7 — boundary-row
+        ppermute exchange); ``seq_microbatches`` ≥ the shard count shrinks
+        the pipeline bubble.  Mutually exclusive with ``mesh``."""
         if print_test_freq is None:
             print_test_freq = print_freq
         self.model = model
@@ -307,6 +312,14 @@ class Trainer:
             self.tx = optax.multi_transform(
                 {"head": self.tx, "i3d": i3d_tx}, label_fn
             )
+        if grad_norm_freq:
+            from ctc_tpu.train.guards import log_grad_norms
+
+            self.tx = optax.chain(log_grad_norms(grad_norm_freq), self.tx)
+        if skip_nonfinite:
+            from ctc_tpu.train.guards import skip_nonfinite_updates
+
+            self.tx = skip_nonfinite_updates(self.tx)
         if accum_grad > 1:
             # gradient accumulation (reference --accum-grad, train.py:447-453):
             # torch SUMS .grad across the k batches and steps on the k-th;
@@ -314,10 +327,45 @@ class Trainer:
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=accum_grad, use_grad_mean=False
             )
-        self.train_step = make_train_step(model, loss_kind, implementation,
-                                          ce_weight)
+        self.mesh = mesh
+        seq_loss_fn = None
+        if seq_parallel > 1:
+            if mesh is not None:
+                raise ValueError(
+                    "seq_parallel and a data-parallel mesh are mutually "
+                    "exclusive — pick one axis per trainer"
+                )
+            if loss_kind not in ("noblank", "binary", "blank"):
+                raise ValueError(
+                    f"seq_parallel needs a lattice loss, got {loss_kind!r}"
+                )
+            import numpy as np
+            from jax.sharding import Mesh
+
+            from ctc_tpu.parallel.seq_lattice import make_seq_sharded_loss
+
+            seq_mesh = Mesh(
+                np.asarray(jax.devices()[:seq_parallel]), ("seq",)
+            )
+            seq_loss_fn = make_seq_sharded_loss(
+                seq_mesh, loss_kind,
+                num_microbatches=(seq_microbatches or None),
+            )
+        if mesh is not None:
+            from ctc_tpu.parallel.steps import make_sharded_train_step
+
+            self.train_step = make_sharded_train_step(
+                model, mesh, loss_kind, implementation, ce_weight=ce_weight
+            )
+        else:
+            self.train_step = make_train_step(model, loss_kind,
+                                              implementation, ce_weight,
+                                              loss_fn=seq_loss_fn)
+        # eval has no cross-replica state: the plain jitted step consumes
+        # mesh-sharded batches directly (XLA partitions it automatically)
         self.eval_step = make_eval_step(model, loss_kind, implementation,
-                                        transition_metrics)
+                                        transition_metrics,
+                                        loss_fn=seq_loss_fn)
         self.cache_dir = cache_dir
         self.print_freq = print_freq
         self.print_test_freq = print_test_freq
@@ -337,15 +385,31 @@ class Trainer:
             return loader
         return itertools.islice(iter(loader), int(n * size))
 
+    def _place(self, batch):
+        """Shard a host batch over the mesh's ``data`` axis (identity when
+        training single-device)."""
+        if self.mesh is None:
+            return batch
+        from ctc_tpu.parallel.steps import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     def init_state(self, example_batch) -> TrainState:
         feats = _model_input(jnp.asarray(example_batch["feats"]))
         params_rng, dropout_rng, self.rng = jax.random.split(self.rng, 3)
         variables = self.model.init(
             {"params": params_rng, "dropout": dropout_rng}, feats, train=True
         )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None:
+            from ctc_tpu.parallel.steps import replicate
+
+            params = replicate(params, self.mesh)
+            batch_stats = replicate(batch_stats, self.mesh)
         return TrainState.create(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
+            params=params,
+            batch_stats=batch_stats,
             tx=self.tx,
         )
 
@@ -361,8 +425,10 @@ class Trainer:
         log = self._csv_writer("train_log.csv")
         end = time.time()
         for i, batch in enumerate(self._part(loader, self.train_size)):
-            state, metrics = self.train_step(state, batch, dropout_rng)
             n = batch["feats"].shape[0]
+            state, metrics = self.train_step(
+                state, self._place(batch), dropout_rng
+            )
             meters["loss"].update(float(metrics["loss"]), n)
             meters["top1"].update(float(metrics["top1"]), n)
             meters["top5"].update(float(metrics["top5"]), n)
@@ -388,8 +454,8 @@ class Trainer:
         meters: dict[str, AverageMeter] = {}
         log = self._csv_writer("test_log.csv")
         for i, batch in enumerate(self._part(loader, self.val_size)):
-            metrics = self.eval_step(state, batch)
             n = batch["feats"].shape[0]
+            metrics = self.eval_step(state, self._place(batch))
             for k, v in metrics.items():
                 meters.setdefault(k, AverageMeter()).update(float(v), n)
             if log and i % self.print_test_freq == 0:

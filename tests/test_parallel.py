@@ -104,3 +104,48 @@ def test_sharded_training_learns(mesh):
             state, metrics = step(state, shard_batch(b, mesh), rng)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.95, losses
+
+
+@pytest.mark.parametrize("loss_kind", ["noblank", "binary", "blank"])
+def test_sharded_step_pallas_interpret_matches_xla(mesh, loss_kind):
+    """The Pallas kernels under shard_map: every lattice loss trains
+    identically with implementation='pallas' (interpret mode on the CPU
+    mesh) and 'xla' — the escape-hatch parity the distributed path must
+    honor (round-2 finding: `implementation` was dropped for blank)."""
+    import warnings
+
+    # max_path=4 < T=8 keeps every blank-CTC lattice feasible (L=T plus a
+    # repeated label has no valid alignment; gradients through those
+    # all-sentinel cells are ill-defined and differ between backends)
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=16, temporal=8, feat_dim=32,
+        num_classes=10, seed=5, max_path=4, binary=(loss_kind == "binary"),
+    )
+    model, state = _setup(batches, hidden=10, sgd=True)
+    rng = jax.random.PRNGKey(7)
+    sb = shard_batch(batches[0], mesh)
+
+    step_x = make_sharded_train_step(
+        model, mesh, loss_kind, implementation="xla"
+    )
+    s_x, m_x = step_x(state, sb, rng)
+
+    step_p = make_sharded_train_step(
+        model, mesh, loss_kind, implementation="pallas", interpret=True
+    )
+    with warnings.catch_warnings():
+        # a silent Pallas->XLA fallback (losses/blank.py) would make this
+        # test vacuous; its warning becomes an error instead
+        warnings.simplefilter("error")
+        s_p, m_p = step_p(state, sb, rng)
+
+    np.testing.assert_allclose(
+        float(m_p["loss"]), float(m_x["loss"]), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_x.params),
+        jax.tree_util.tree_leaves(s_p.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
