@@ -12,16 +12,20 @@ from __future__ import annotations
 import numpy as np
 
 from ctc_tpu.data import charades
-from ctc_tpu.data.frames import load_window
 from ctc_tpu.data.loaders._common import LazyBatches, _index_batches
 from ctc_tpu.data.loading import collate_binary_ctc, collate_verb_ctc
+from ctc_tpu.data.native_loader import load_window_native
 
 
 def _pixels_collate(base_collate, gap: int, inputsize: int):
     def collate(data, indices, _features):
         idx = list(indices)
+        # C++ thread-pool JPEG decode (native/dataloader.cpp) with a PIL
+        # fallback inside decode_frames when the shared lib is unavailable
         clips = np.stack([
-            load_window(data["rgb_image_paths"][i], gap, inputsize=inputsize)
+            load_window_native(
+                data["rgb_image_paths"][i], gap, inputsize=inputsize
+            )
             for i in idx
         ])
         batch = base_collate(data, idx, np.zeros((len(idx), clips.shape[1], 1),

@@ -15,13 +15,14 @@ torch.nn.CTCLoss to float tolerance):
   :mod:`ctc_tpu.ops.blank_lattice_pallas` (alpha chunked through VMEM,
   analytic backward).  Default on TPU backends.
 
-The emission build (``em[t, b, s] = log_probs[t, b, z[b, s]]``) and the
-log-softmax stay in XLA in both cases.  For ``layout='tlb'`` (the Pallas
-default) the build is a one-hot MXU einsum whose backward is another
-matmul; for ``'tbl'`` (the XLA scan path) it is a gather whose backward
-is XLA's scatter-add.  Above a one-hot-size threshold the tlb path falls
-back to gather+transpose (the einsum's [B, S, C] one-hot scales linearly
-with vocabulary).
+The emission build stays in XLA in both cases, working on RAW logits:
+``em[t, b, s] = logits[t, b, z[b, s]] - logsumexp_c(logits[t, b])`` — the
+[T, B, C] log-probs tensor is never materialized (the row-lse is [T, B]).
+For ``layout='tlb'`` (the Pallas default) the build is a one-hot MXU
+einsum whose backward is another matmul; for ``'tbl'`` (the XLA scan
+path) it is a gather whose backward is XLA's scatter-add.  Above a
+one-hot-size threshold the tlb path falls back to gather+transpose (the
+einsum's [B, S, C] one-hot scales linearly with vocabulary).
 """
 
 from __future__ import annotations
@@ -39,12 +40,17 @@ def _expand_targets(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
     return z.at[:, 1::2].set(targets)
 
 
-def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
-                             layout="tbl"):
+def blank_emissions_and_skip(scores, targets, blank, *, pad_multiple=1,
+                             layout="tbl", normalize=False):
     """Gathered emissions + skip mask over the blank-expanded sequence.
 
     Args:
-      log_probs: ``[T, B, C]`` log-probabilities.
+      scores: ``[T, B, C]`` log-probabilities — or RAW logits with
+        ``normalize=True``, in which case the per-(t, b) row-logsumexp is
+        subtracted once after the gather/einsum (``em = scores[z] - lse``,
+        identical math to gathering from log_softmax) so the [T, B, C]
+        log-probs tensor is never materialized: ~4 fewer HBM passes per
+        step at C >> S, both directions.
       targets: ``[B, L]`` int labels.
       pad_multiple: pad ``S`` up to a multiple of this (the TPU kernel's
         sublane unit, 8) with trailing *blank* slots — they can never feed
@@ -63,7 +69,7 @@ def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
       mode in :mod:`ctc_tpu.parallel.seq_lattice`.
     """
     batch = targets.shape[0]
-    num_classes = log_probs.shape[2]
+    num_classes = scores.shape[2]
     z = _expand_targets(jnp.mod(targets, num_classes), blank)  # [B, S]
     pad = (-z.shape[1]) % pad_multiple
     if pad:
@@ -85,17 +91,20 @@ def blank_emissions_and_skip(log_probs, targets, blank, *, pad_multiple=1,
         # Gated on the one-hot's size (f32 [B, S, C]): at dictionary-scale
         # vocabularies (e.g. C=10k, B=256, S=201 -> ~2 GB) it falls through
         # to the gather below instead.
-        onehot = jax.nn.one_hot(z, num_classes, dtype=log_probs.dtype)
+        onehot = jax.nn.one_hot(z, num_classes, dtype=scores.dtype)
         em = jnp.einsum(
-            "tbc,bsc->tsb", log_probs, onehot,
+            "tbc,bsc->tsb", scores, onehot,
             precision=jax.lax.Precision.HIGHEST,
         )  # [T, S, B]
     else:
         em = jnp.take_along_axis(
-            log_probs[:, :, None, :], z[None, :, :, None], axis=3
+            scores[:, :, None, :], z[None, :, :, None], axis=3
         )[..., 0]  # [T, B, S]
         if layout == "tlb":
             em = jnp.transpose(em, (0, 2, 1))  # [T, S, B]
+    if normalize:
+        lse = jax.nn.logsumexp(scores, axis=2)  # [T, B]
+        em = em - (lse[:, None, :] if layout == "tlb" else lse[:, :, None])
     return em, skip_ok
 
 
@@ -176,7 +185,6 @@ def ctc_loss(
       interpret: run the Pallas kernel in interpret mode (CPU testing only).
     """
     max_t, batch, num_classes = logits.shape
-    log_probs = jax.nn.log_softmax(logits, axis=2) if normalize else logits
     if implementation is None:
         from ctc_tpu.ops.dispatch import _default_implementation
 
@@ -187,9 +195,12 @@ def ctc_loss(
 
             # [T, S, B] built directly: label slots on sublanes (padded to
             # the sublane multiple with inert blank slots), batch on lanes
-            # — aligned kernel blocks, no transpose copy.
+            # — aligned kernel blocks, no transpose copy.  Raw logits go
+            # straight in (normalize subtracts the row-lse after the
+            # einsum) — log-probs are never materialized.
             em_tlb, skip_ok = blank_emissions_and_skip(
-                log_probs, targets, blank, pad_multiple=8, layout="tlb"
+                logits, targets, blank, pad_multiple=8, layout="tlb",
+                normalize=normalize,
             )
             nll = blank_lattice_nll_pallas(
                 em_tlb,
@@ -213,7 +224,8 @@ def ctc_loss(
                 stacklevel=2,
             )
 
-    em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
+    em, skip_ok = blank_emissions_and_skip(logits, targets, blank,
+                                           normalize=normalize)
     s_len = em.shape[2]
     # Valid lattice columns: s < 2 * target_length + 1.
     s_idx = jnp.arange(s_len)[None, :]

@@ -169,8 +169,9 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
 
     def _blank_local(logits, targets, input_lengths, target_lengths):
         k = jax.lax.axis_index(seq_axis)
-        log_probs = jax.nn.log_softmax(logits, axis=2)
-        em, skip_ok = blank_emissions_and_skip(log_probs, targets, blank)
+        # raw-logits gather + shard-local row-lse (log-probs never built)
+        em, skip_ok = blank_emissions_and_skip(logits, targets, blank,
+                                               normalize=True)
         t_shard, batch, s_len = em.shape
         mb = batch // (num_microbatches or n)
         valid = (
