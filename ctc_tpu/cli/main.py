@@ -102,6 +102,7 @@ def main(argv=None):
         grad_norm_freq=cfg.grad_norm_freq,
         seq_parallel=cfg.seq_parallel,
         seq_microbatches=cfg.seq_microbatches,
+        model_parallel=cfg.model_parallel,
     )
 
     state = trainer.init_state(train_batches[0])

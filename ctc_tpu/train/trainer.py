@@ -252,6 +252,7 @@ class Trainer:
         grad_norm_freq: int = 0,
         seq_parallel: int = 0,
         seq_microbatches: int = 0,
+        model_parallel: int = 1,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis — the
         trainer then runs the shard_map train step with explicit
@@ -270,7 +271,12 @@ class Trainer:
         ``seq_parallel`` > 1: pipeline the lattice's T axis over that many
         devices (the long-T strategy of SURVEY.md §5.7 — boundary-row
         ppermute exchange); ``seq_microbatches`` ≥ the shard count shrinks
-        the pipeline bubble.  Mutually exclusive with ``mesh``."""
+        the pipeline bubble.  Mutually exclusive with ``mesh``.
+
+        ``model_parallel`` > 1 (binary loss only): shard the 157-class BCE
+        emission contraction over a ``model`` mesh axis with one psum of
+        partial emissions (SURVEY.md §2.5 item 2,
+        :mod:`ctc_tpu.parallel.class_sharded`)."""
         if print_test_freq is None:
             print_test_freq = print_freq
         self.model = model
@@ -329,6 +335,44 @@ class Trainer:
             )
         self.mesh = mesh
         seq_loss_fn = None
+        if model_parallel > 1:
+            if mesh is not None or seq_parallel > 1:
+                raise ValueError(
+                    "model_parallel combines with data/seq axes only at the "
+                    "library level (make_mesh(data=..., model=...)) — pick "
+                    "one trainer axis"
+                )
+            if loss_kind != "binary":
+                raise ValueError(
+                    "model_parallel shards the binary loss's class axis; "
+                    f"got loss {loss_kind!r}"
+                )
+            import numpy as np
+            from jax.sharding import Mesh
+
+            from ctc_tpu.parallel.class_sharded import (
+                make_class_sharded_binary_nll,
+            )
+
+            cmesh = Mesh(
+                np.asarray(jax.devices()[:model_parallel]), ("model",)
+            )
+
+            def seq_loss_fn(logits, paths, input_lengths, target_lengths,
+                            implementation=None, interpret=False,
+                            _n=model_parallel, _mesh=cmesh):
+                del interpret
+                c = logits.shape[2]
+                nll_fn = make_class_sharded_binary_nll(
+                    _mesh, num_classes=c, implementation=implementation,
+                    reduction="mean",
+                )
+                pad = (-c) % _n
+                if pad:  # C=157 need not divide the axis; pads are masked
+                    logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)))
+                    paths = jnp.pad(paths, ((0, 0), (0, 0), (0, pad)))
+                return nll_fn(logits, paths, input_lengths, target_lengths)
+
         if seq_parallel > 1:
             if mesh is not None:
                 raise ValueError(

@@ -121,3 +121,39 @@ def test_trainer_skip_nonfinite_drops_poisoned_step():
     )
     assert changed
     assert int(state_good.opt_state.skipped) == 0
+
+
+def test_trainer_model_parallel_matches_plain():
+    """Trainer(model_parallel=4): the 157-class binary-CTC emission einsum
+    sharded over a 'model' axis trains identically to the plain trainer
+    (the --model-parallel product path; C=30 not divisible by 4 exercises
+    the pad-class masking)."""
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=8, temporal=12, feat_dim=16,
+        num_classes=30, max_path=6, seed=4, binary=True,
+    )
+    model = LSTMHead(hidden=30, dropout_rate=0.0)
+    common = dict(loss_kind="binary", lr=1e-3, seed=0, implementation="xla")
+    tr_mp = Trainer(model, model_parallel=4, **common)
+    tr_plain = Trainer(model, **common)
+    s_mp = tr_mp.init_state(batches[0])
+    s_plain = tr_plain.init_state(batches[0])
+    b = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    rng_key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        s_mp, m_mp = tr_mp.train_step(s_mp, b, rng_key)
+        s_plain, m_plain = tr_plain.train_step(s_plain, b, rng_key)
+        np.testing.assert_allclose(
+            float(m_mp["loss"]), float(m_plain["loss"]), rtol=1e-4, atol=1e-5
+        )
+    np.testing.assert_allclose(
+        float(tr_mp.eval_step(s_mp, b)["loss"]),
+        float(tr_plain.eval_step(s_plain, b)["loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_trainer_model_parallel_rejects_nonbinary():
+    model = LSTMHead(hidden=8, dropout_rate=0.0)
+    with pytest.raises(ValueError, match="binary"):
+        Trainer(model, loss_kind="noblank", model_parallel=4)
