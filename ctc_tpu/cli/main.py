@@ -65,15 +65,20 @@ def main(argv=None):
     train_batches, val_batches = get_dataset(cfg)
 
     pixels = cfg.dataset.endswith("_pixels")
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bf16" else None
     if pixels:
         from ctc_tpu.models.i3d_lstm import I3DLSTM
 
         model = I3DLSTM(
             hidden=cfg.head_classes, dropout_rate=cfg.dropout,
             freeze_backbone=not cfg.finetune_i3d,
+            i3d_dtype=dtype,
         )
     else:
-        model = LSTMHead(hidden=cfg.head_classes, dropout_rate=cfg.dropout)
+        model = LSTMHead(hidden=cfg.head_classes, dropout_rate=cfg.dropout,
+                         dtype=dtype)
     trainer = Trainer(
         model,
         loss_kind=cfg.loss,

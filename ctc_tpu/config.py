@@ -89,6 +89,10 @@ class Config:
     # loss/kernel selection (new)
     loss: str = "noblank"  # noblank | binary | blank | ce | bce | mlce
     lattice_impl: str | None = None  # xla | pallas | None(auto)
+    # matmul/conv compute dtype: 'bf16' runs the I3D convs and LSTM matmuls
+    # in bfloat16 on the MXU (params, BN, recurrence state stay f32 —
+    # tests/test_mixed_precision.py); 'f32' is the parity default
+    compute_dtype: str = "f32"  # f32 | bf16
     dropout: float = 0.3
     # end-to-end pixels mode (I3DLSTM; *_pixels datasets): unfreeze the I3D
     # and step it with SGD like the reference's second optimizer

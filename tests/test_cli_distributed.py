@@ -157,3 +157,14 @@ def test_trainer_model_parallel_rejects_nonbinary():
     model = LSTMHead(hidden=8, dropout_rate=0.0)
     with pytest.raises(ValueError, match="binary"):
         Trainer(model, loss_kind="noblank", model_parallel=4)
+
+
+def test_cli_bf16_compute_dtype(tmp_path):
+    """--compute-dtype bf16 trains and tracks the f32 run loosely (MXU
+    matmuls in bfloat16, params/recurrence f32)."""
+    f32 = main(_argv(tmp_path, "f32run"))
+    bf16 = main(_argv(tmp_path, "bf16run", ["--compute-dtype", "bf16"]))
+    assert bf16[-1]["train"]["loss"] < bf16[0]["train"]["loss"] * 1.01
+    np.testing.assert_allclose(
+        bf16[0]["train"]["loss"], f32[0]["train"]["loss"], rtol=0.05
+    )
