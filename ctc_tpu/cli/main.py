@@ -75,6 +75,7 @@ def main(argv=None):
             hidden=cfg.head_classes, dropout_rate=cfg.dropout,
             freeze_backbone=not cfg.finetune_i3d,
             i3d_dtype=dtype,
+            feat_chunk=cfg.i3d_chunk,
         )
     else:
         model = LSTMHead(hidden=cfg.head_classes, dropout_rate=cfg.dropout,

@@ -97,6 +97,10 @@ class Config:
     # end-to-end pixels mode (I3DLSTM; *_pixels datasets): unfreeze the I3D
     # and step it with SGD like the reference's second optimizer
     finetune_i3d: bool = False
+    # frozen-backbone memory bound: extract I3D features in sequential
+    # chunks of this many folded clips (0 = one-shot); lets B=32+ pixel
+    # batches fit one v5e (one-shot OOMs past ~B=16 at 224^2 x stack 10)
+    i3d_chunk: int = 0
 
     # derived (finalize())
     cache: str = ""

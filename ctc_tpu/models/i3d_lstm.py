@@ -25,19 +25,58 @@ from ctc_tpu.models.lstm import LSTMHead
 
 
 class I3DLSTM(nn.Module):
-    """``[B, T, stack, h, w, 3]`` clips -> ``[T, B, hidden]`` logits."""
+    """``[B, T, stack, h, w, 3]`` clips -> ``[T, B, hidden]`` logits.
+
+    ``feat_chunk > 0`` extracts features in sequential chunks of that many
+    folded clips (``nn.scan`` with params broadcast), bounding conv
+    activation memory to one chunk instead of the full ``B*T`` folded batch
+    — a v5e holds B=10*T=10 at 224² in one shot but OOMs at B=32 (measured);
+    chunking trades nothing but schedule freedom when the backbone is
+    frozen (no grads, no BN updates ever traverse it). Requires
+    ``freeze_backbone`` and ``feat_chunk | B*T``.
+    """
 
     hidden: int = 33
     dropout_rate: float = 0.3
     freeze_backbone: bool = True
     i3d_dtype: Any = None  # conv compute dtype (e.g. jnp.bfloat16)
     bn_axis_name: str | None = None
+    feat_chunk: int = 0
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool = False):
-        feats = InceptionI3d(dtype=self.i3d_dtype, name="i3d")(
-            clips, train=(train and not self.freeze_backbone)
-        )  # [B, T, 1024]
+        i3d = InceptionI3d(dtype=self.i3d_dtype, name="i3d")
+        if self.feat_chunk:
+            if not self.freeze_backbone:
+                raise ValueError(
+                    "feat_chunk requires freeze_backbone=True (chunked "
+                    "extraction never carries BN updates or gradients)"
+                )
+            b, t = clips.shape[:2]
+            folded = clips.reshape((b * t,) + clips.shape[2:])
+            if (b * t) % self.feat_chunk:
+                raise ValueError(
+                    f"feat_chunk={self.feat_chunk} must divide B*T={b * t}"
+                )
+            n = (b * t) // self.feat_chunk
+            chunks = folded.reshape((n, self.feat_chunk) + folded.shape[1:])
+
+            def body(mod, carry, chunk):
+                return carry, mod(chunk, train=False)  # [chunk, 1, 1024]
+
+            scan = nn.transforms.scan(
+                body,
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            _, out = scan(i3d, None, chunks)  # [n, chunk, 1, 1024]
+            feats = out.reshape(b, t, -1)
+        else:
+            feats = i3d(
+                clips, train=(train and not self.freeze_backbone)
+            )  # [B, T, 1024]
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         feats = jnp.transpose(feats, (1, 0, 2))  # [T, B, F]

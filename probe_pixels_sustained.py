@@ -120,13 +120,26 @@ def main():
     state, metrics = step(state, batch0, rng)
     jax.block_until_ready(metrics["loss"])
     print(f"first step (compile) {time.time()-t0:.0f}s", flush=True)
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch0, rng)
-    jax.block_until_ready(metrics["loss"])
-    device_dt = (time.perf_counter() - t0) / iters
-    print(f"device-only: {device_dt*1e3:.1f} ms/step", flush=True)
+    # Cycle DISTINCT decoded batches: the remote execution pool
+    # content-caches repeated dispatches, and a same-batch loop has
+    # measured an impossible 3.5 ms/step (analytical FLOPs alone need
+    # >=15 ms at 100% MFU) — same defense as bench.py, take the slower.
+    dev_batches = [batch0] + [
+        {k: jnp.asarray(v) for k, v in train_batches[i].items()}
+        for i in range(1, n_timed)
+    ]
+    iters = 12
+    times = {}
+    for label, cycle in (("same-buf", [batch0]), ("uniq-buf", dev_batches)):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, cycle[i % len(cycle)], rng)
+        jax.block_until_ready(metrics["loss"])
+        times[label] = (time.perf_counter() - t0) / iters
+    device_dt = max(times.values())
+    print(f"device-only: {device_dt*1e3:.1f} ms/step "
+          f"(same-buf {times['same-buf']*1e3:.1f}, "
+          f"uniq-buf {times['uniq-buf']*1e3:.1f})", flush=True)
 
     # --- sustained e2e (prefetcher overlaps decode with device) ----------
     epochs = 3

@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mfu", action="store_true",
                     help="compute the analytical FLOP count / MFU")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="I3DLSTM feat_chunk: extract features in chunks "
+                         "of this many folded clips (bounds HBM)")
+    ap.add_argument("--flops-per-step", type=float, default=0.0,
+                    help="inject the analytical FLOP count (the axon TPU "
+                         "client returns None from cost_analysis; compute "
+                         "it with the CPU client: lower the same step "
+                         "under JAX_PLATFORMS=cpu on ShapeDtypeStructs)")
     args = ap.parse_args()
 
     print("device:", jax.devices()[0], flush=True)
@@ -66,7 +74,8 @@ def main():
     B, T, STACK, HW, C = args.batch, 10, 10, 224, 33
     L = 4
     rng = np.random.default_rng(0)
-    model = I3DLSTM(hidden=C, freeze_backbone=True, i3d_dtype=jnp.bfloat16)
+    model = I3DLSTM(hidden=C, freeze_backbone=True, i3d_dtype=jnp.bfloat16,
+                    feat_chunk=args.chunk)
     clips = jnp.asarray(
         rng.standard_normal((B, T, STACK, HW, HW, 3)).astype(np.float32)
     )
@@ -77,14 +86,16 @@ def main():
         "target_lengths": jnp.full((B,), L, jnp.int32),
         "future_target": jnp.zeros((B,), jnp.int32),
     }
-    flops = None
-    if args.mfu:
+    flops = args.flops_per_step or None
+    if args.mfu and flops is None:
         try:
             flops = flops_per_step(model, batch, jax.random.PRNGKey(2))
-            print(f"analytical FLOPs/step: {flops:.3e} "
-                  f"({flops/B:.3e} per clip)", flush=True)
         except Exception as e:
-            print(f"cost analysis unavailable ({e})", flush=True)
+            print(f"cost analysis unavailable ({e}); pass "
+                  f"--flops-per-step from a CPU-client lowering", flush=True)
+    if flops:
+        print(f"analytical FLOPs/step: {flops:.3e} "
+              f"({flops/B:.3e} per clip)", flush=True)
     t0 = time.time()
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},

@@ -57,3 +57,41 @@ def test_finetune_updates_backbone(rng):
     assert np.isfinite(float(metrics["loss"]))
     assert _max_delta(state1.params["i3d"], state0.params["i3d"]) > 0.0
     assert _max_delta(state1.params["head"], state0.params["head"]) > 0.0
+
+
+@pytest.mark.slow
+def test_feat_chunk_matches_unchunked(rng):
+    """Chunked feature extraction (feat_chunk) is numerically identical to
+    the one-shot folded conv batch: same params, same logits."""
+    import jax.numpy as jnp
+
+    batch = _pixel_batch(rng, batch=2, temporal=2)
+    clips = jnp.asarray(batch["feats"])
+    plain = I3DLSTM(hidden=5, freeze_backbone=True)
+    chunked = I3DLSTM(hidden=5, freeze_backbone=True, feat_chunk=2)
+    variables = plain.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        clips, train=False,
+    )
+    out_plain = plain.apply(variables, clips, train=False)
+    out_chunked = chunked.apply(variables, clips, train=False)
+    logits = out_plain[0] if isinstance(out_plain, tuple) else out_plain
+    logits_c = out_chunked[0] if isinstance(out_chunked, tuple) else out_chunked
+    np.testing.assert_allclose(
+        np.asarray(logits_c), np.asarray(logits), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_feat_chunk_guards():
+    with pytest.raises(ValueError, match="freeze_backbone"):
+        I3DLSTM(hidden=5, freeze_backbone=False, feat_chunk=2).init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            np.zeros((1, 2, 10, 32, 32, 3), np.float32), train=False,
+        )
+    with pytest.raises(ValueError, match="divide"):
+        I3DLSTM(hidden=5, freeze_backbone=True, feat_chunk=3).init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            np.zeros((1, 2, 10, 32, 32, 3), np.float32), train=False,
+        )
