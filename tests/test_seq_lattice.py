@@ -161,8 +161,13 @@ def test_seq_sharded_grad_matches_unsharded(rng, seq_mesh, mode):
     v_s, g_s = jax.value_and_grad(sharded)(arg)
     v_u, g_u = jax.value_and_grad(unsharded)(arg)
     np.testing.assert_allclose(float(v_s), float(v_u), rtol=1e-5, atol=1e-5)
+    # atol 1e-5 (not 1e-6): on an oversubscribed host the 8-virtual-device
+    # psum/ppermute reduction order varies with thread scheduling, and
+    # near-zero grad entries flake at 1e-6 under full-suite load (observed
+    # once in-suite, 5/5 clean in isolation); rtol still pins every
+    # non-tiny entry to f32 parity.
     np.testing.assert_allclose(
-        np.asarray(g_s), np.asarray(g_u), rtol=1e-5, atol=1e-6
+        np.asarray(g_s), np.asarray(g_u), rtol=1e-5, atol=1e-5
     )
 
 
