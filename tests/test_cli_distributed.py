@@ -168,3 +168,21 @@ def test_cli_bf16_compute_dtype(tmp_path):
     np.testing.assert_allclose(
         bf16[0]["train"]["loss"], f32[0]["train"]["loss"], rtol=0.05
     )
+
+
+def test_cli_i3d_chunk_flag_plumbed():
+    """--i3d-chunk reaches I3DLSTM.feat_chunk (pixels model construction,
+    cli/main.py) without building a dataset."""
+    from ctc_tpu import config as config_lib
+    from ctc_tpu.models.i3d_lstm import I3DLSTM
+
+    cfg = config_lib.parse([
+        "--dataset", "charades_pixels", "--i3d-chunk", "40",
+        "--cache-dir", "/tmp/i3dchunk", "--name", "t",
+    ])
+    assert cfg.i3d_chunk == 40
+    model = I3DLSTM(
+        hidden=cfg.head_classes, dropout_rate=cfg.dropout,
+        freeze_backbone=not cfg.finetune_i3d, feat_chunk=cfg.i3d_chunk,
+    )
+    assert model.feat_chunk == 40
