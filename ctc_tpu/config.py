@@ -110,6 +110,21 @@ class Config:
         self.distributed = self.num_hosts > 1
         self.cache = os.path.join(self.cache_dir, self.name) + os.sep
         os.makedirs(self.cache, exist_ok=True)
+        # fail at parse time, not after a multi-minute remote compile: the
+        # chunked I3D extraction path requires a frozen backbone and a chunk
+        # that divides the folded clip count (I3DLSTM.__call__ re-checks)
+        if self.i3d_chunk:
+            if self.finetune_i3d:
+                raise ValueError(
+                    "--i3d-chunk requires a frozen backbone; drop "
+                    "--finetune-i3d or --i3d-chunk"
+                )
+            folded = self.batch_size * self.temporal
+            if folded % self.i3d_chunk:
+                raise ValueError(
+                    f"--i3d-chunk {self.i3d_chunk} must divide "
+                    f"batch_size*temporal = {folded}"
+                )
         return self
 
     @property

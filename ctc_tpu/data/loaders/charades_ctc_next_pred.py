@@ -32,6 +32,13 @@ def _extractor(cfg):
     else:
         import jax.numpy as jnp
 
+        print(
+            "WARNING: --rgb-pretrained-weights not set — extracting "
+            "features with a RANDOMLY INITIALIZED I3D backbone. This is "
+            "only meaningful for smoke runs; real training needs the "
+            "Kinetics checkpoint (reference models/__init__.py:29-31).",
+            flush=True,
+        )
         dummy = jnp.zeros((1, 1, 10, 224, 224, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), dummy)
     return I3DFeatureExtractor(variables, model)

@@ -62,7 +62,9 @@ class I3DLSTM(nn.Module):
             chunks = folded.reshape((n, self.feat_chunk) + folded.shape[1:])
 
             def body(mod, carry, chunk):
-                return carry, mod(chunk, train=False)  # [chunk, 1, 1024]
+                # the 5-D chunk takes InceptionI3d's single-clip path, which
+                # squeezes the inserted T axis -> [chunk, 1024]
+                return carry, mod(chunk, train=False)
 
             scan = nn.transforms.scan(
                 body,
@@ -71,7 +73,7 @@ class I3DLSTM(nn.Module):
                 in_axes=0,
                 out_axes=0,
             )
-            _, out = scan(i3d, None, chunks)  # [n, chunk, 1, 1024]
+            _, out = scan(i3d, None, chunks)  # [n, chunk, 1024]
             feats = out.reshape(b, t, -1)
         else:
             feats = i3d(

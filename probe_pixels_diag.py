@@ -50,4 +50,6 @@ def make(Lpaths, len_dtype, tag):
           f"(losses {losses[:3]}...{losses[-1]:.4f})", flush=True)
 
 make(4, jnp.int32, "probe-style L=4 int32")
-make(10, jnp.int64, "sustained-style L=10 int64")
+# NOTE: without jax x64, jnp.int64 silently downcasts to int32 — the two
+# variants differ only in L, not in length dtype (advisor r3)
+make(10, jnp.int32, "sustained-style L=10")

@@ -124,11 +124,21 @@ def main():
     # content-caches repeated dispatches, and a same-batch loop has
     # measured an impossible 3.5 ms/step (analytical FLOPs alone need
     # >=15 ms at 100% MFU) — same defense as bench.py, take the slower.
-    dev_batches = [batch0] + [
+    iters = 12
+    # One distinct batch per iteration: a short cycle of decoded batches can
+    # still collide in the pool's content cache (the synthetic JPEG tree
+    # repeats frame bytes — advisor r3), so perturb each batch's clips with
+    # a per-iteration epsilon like probe_pixels_diag.py does.
+    base_batches = [batch0] + [
         {k: jnp.asarray(v) for k, v in train_batches[i].items()}
         for i in range(1, n_timed)
     ]
-    iters = 12
+    dev_batches = [
+        dict(b, feats=b["feats"] + 1e-3 * (i + 1))
+        for i, b in ((i, base_batches[i % len(base_batches)])
+                     for i in range(iters))
+    ]
+    jax.block_until_ready([b["feats"] for b in dev_batches])
     times = {}
     for label, cycle in (("same-buf", [batch0]), ("uniq-buf", dev_batches)):
         t0 = time.perf_counter()

@@ -5,7 +5,8 @@ on hardware).
 
 For each lattice loss: one sharded+Pallas step vs one unsharded+Pallas step
 from the same state — losses must match exactly, params to float tolerance.
-Appends the record to MULTICHIP_r03.json.  TPU-claiming python: run alone.
+Writes the record to VALIDATE_SHARDED_r4.json (its own artifact — the r3
+name collided with the driver dryrun output).  TPU-claiming python: run alone.
 """
 
 import json
@@ -88,9 +89,9 @@ def main():
         }
         assert ok, f"{loss_kind} sharded/pallas mismatch"
 
-    with open("MULTICHIP_r03.json", "w") as f:
+    with open("VALIDATE_SHARDED_r4.json", "w") as f:
         json.dump(results, f, indent=2)
-    print("wrote MULTICHIP_r03.json", flush=True)
+    print("wrote VALIDATE_SHARDED_r4.json", flush=True)
 
 
 if __name__ == "__main__":
