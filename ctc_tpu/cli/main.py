@@ -47,20 +47,45 @@ def main(argv=None):
     # data-parallel mesh (reference DDP wrap, models/__init__.py:33-43):
     # --data-parallel N shards batches over an N-device 'data' axis with
     # pmean gradient exchange; multi-host runs REQUIRE it so per-host models
-    # can never silently train unsynced
+    # can never silently train unsynced.  --model-parallel/--seq-parallel
+    # COMPOSE with it: the mesh grows a second axis and the loss shards its
+    # class/T dimension over it while batches stay split over 'data'.
+    if cfg.seq_parallel > 1 and cfg.temporal % cfg.seq_parallel:
+        raise SystemExit(
+            f"--temporal {cfg.temporal} must be divisible by "
+            f"--seq-parallel {cfg.seq_parallel} (the lattice T axis is "
+            "split into equal shards)"
+        )
     mesh = None
     if cfg.data_parallel is not None or cfg.distributed:
         from ctc_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(data=cfg.data_parallel)  # None = all devices
+        mesh = make_mesh(  # data=None = all remaining devices
+            data=cfg.data_parallel,
+            model=max(cfg.model_parallel, 1),
+            seq=max(cfg.seq_parallel, 1),
+        )
         n_data = mesh.shape["data"]
         if cfg.batch_size % n_data:
             raise SystemExit(
                 f"--batch-size {cfg.batch_size} must be divisible by the "
                 f"data-parallel axis ({n_data} devices)"
             )
-        print(f"data-parallel: {n_data}-way mesh "
-              f"({jax.process_count()} hosts, {jax.device_count()} devices)")
+        if cfg.seq_parallel > 1:
+            local_b = cfg.batch_size // n_data
+            m = cfg.seq_microbatches or cfg.seq_parallel
+            if local_b % m:
+                raise SystemExit(
+                    f"per-data-shard batch {local_b} must be divisible by "
+                    f"the seq pipeline's microbatch count {m} "
+                    "(--seq-microbatches)"
+                )
+        second = [f"{ax}={n}" for ax, n in dict(mesh.shape).items()
+                  if ax != "data" and n > 1]
+        print(f"data-parallel: {n_data}-way mesh"
+              + (f" × {' '.join(second)}" if second else "")
+              + f" ({jax.process_count()} hosts, "
+                f"{jax.device_count()} devices)")
 
     train_batches, val_batches = get_dataset(cfg)
 

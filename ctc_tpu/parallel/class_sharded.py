@@ -29,6 +29,7 @@ MODEL_AXIS = "model"
 
 def make_class_sharded_binary_nll(
     mesh, num_classes: int, *, model_axis: str = MODEL_AXIS,
+    batch_axis: str | None = None,
     implementation=None, reduction: str = "mean",
 ):
     """Build a jitted NoBlankBinaryCTC loss with the class axis sharded.
@@ -37,7 +38,13 @@ def make_class_sharded_binary_nll(
     ``model_axis``.  C may be zero-padded to a multiple of the axis size:
     pad classes are masked out by their global index (a pad class would
     otherwise add log(1/2) to every cell's ``base`` term).
+
+    ``batch_axis``: additionally shard B over that mesh axis — the
+    data×model composition (SURVEY.md §2.5 items 1-2): each device holds a
+    ``[T, B/d, C/m]`` tile, the emission psum rides the ``model`` axis only,
+    and the mean/sum reduction is pmean/psum-combined over ``batch_axis``.
     """
+    ba = batch_axis
 
     def local(logits, paths, input_lengths, target_lengths):
         c_shard = logits.shape[2]
@@ -55,20 +62,54 @@ def make_class_sharded_binary_nll(
         nll = dispatch.lattice_nll(
             em, input_lengths, target_lengths, implementation=implementation
         )
-        if reduction == "mean":
-            return jnp.mean(nll)
+        if reduction == "mean":  # equal shard sizes: pmean of means = mean
+            val = jnp.mean(nll)
+            return jax.lax.pmean(val, ba) if ba else val
         if reduction == "sum":
-            return jnp.sum(nll)
+            val = jnp.sum(nll)
+            return jax.lax.psum(val, ba) if ba else val
         return nll
 
+    out_specs = P(ba) if (reduction == "none" and ba) else P()
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, None, model_axis), P(None, None, model_axis), P(), P()),
-        out_specs=P(),
+        in_specs=(P(None, ba, model_axis), P(ba, None, model_axis),
+                  P(ba), P(ba)),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_class_sharded_binary_loss(
+    mesh, *, model_axis: str = MODEL_AXIS, batch_axis: str | None = None,
+):
+    """A drop-in binary-loss replacement for :mod:`ctc_tpu.losses` entry
+    points (same signature the Trainer's ``loss_fn`` hook expects) with the
+    class axis sharded over ``model_axis`` — and, with ``batch_axis``, the
+    batch simultaneously sharded over a ``data`` axis of the same mesh
+    (the composed data×model train step).  Pads C to a multiple of the
+    model-axis size; pad classes are masked by global index.
+    """
+    n = mesh.shape[model_axis]
+
+    def loss_fn(logits, paths, input_lengths, target_lengths,
+                implementation=None, interpret=False):
+        del interpret
+        c = logits.shape[2]
+        nll_fn = make_class_sharded_binary_nll(
+            mesh, num_classes=c, model_axis=model_axis,
+            batch_axis=batch_axis, implementation=implementation,
+            reduction="mean",
+        )
+        pad = (-c) % n
+        if pad:  # C=157 need not divide the axis; pads are masked
+            logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)))
+            paths = jnp.pad(paths, ((0, 0), (0, 0), (0, pad)))
+        return nll_fn(logits, paths, input_lengths, target_lengths)
+
+    return loss_fn
 
 
 def shard_class_axis(x, mesh, *, model_axis: str = MODEL_AXIS):

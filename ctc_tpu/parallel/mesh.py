@@ -21,6 +21,7 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
@@ -38,19 +39,30 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
 def make_mesh(
     data: int | None = None,
     model: int = 1,
+    seq: int = 1,
     *,
     devices=None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over all (or the given) devices.
+    """Build a ``(data, model)`` or ``(data, seq)`` mesh.
 
-    ``data=None`` uses every remaining device on the data axis.
+    ``data=None`` uses every remaining device on the data axis.  ``model``
+    > 1 adds the class-sharding axis for the binary lattice stack;
+    ``seq`` > 1 adds the T-pipeline axis instead (SURVEY.md §5.7) — the two
+    second axes are alternatives, not combinable (no capability needs a
+    3-axis lattice).
     """
+    if model > 1 and seq > 1:
+        raise ValueError("pick one second axis: model or seq, not both")
+    second = max(model, seq)
+    second_name = SEQ_AXIS if seq > 1 else MODEL_AXIS
     devices = np.asarray(devices if devices is not None else jax.devices())
     total = devices.size
     if data is None:
-        if total % model:
-            raise ValueError(f"{total} devices not divisible by model={model}")
-        data = total // model
-    if data * model != total:
-        devices = devices[: data * model]
-    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+        if total % second:
+            raise ValueError(
+                f"{total} devices not divisible by {second_name}={second}"
+            )
+        data = total // second
+    if data * second != total:
+        devices = devices[: data * second]
+    return Mesh(devices.reshape(data, second), (DATA_AXIS, second_name))

@@ -105,7 +105,8 @@ def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
 
 def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
                                  seq_axis: str = SEQ_AXIS, blank: int = 0,
-                                 num_microbatches: int | None = None):
+                                 num_microbatches: int | None = None,
+                                 batch_axis: str | None = None):
     """Build a jitted sequence-sharded per-sample NLL ``[B]``.
 
     The per-shard scan reuses the same step functions as the unsharded
@@ -133,8 +134,16 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
 
     ``num_microbatches`` ≥ the shard count shrinks the pipeline
     fill/drain bubble from (n-1)/(2n-1) to (n-1)/(m+n-1).
+
+    ``batch_axis``: additionally shard B over that mesh axis — the
+    data×seq composition (SURVEY.md §2.5 item 1 × §5.7): each data-shard
+    group runs its own T-pipeline over its local batch; the boundary
+    ppermute and final psum ride the ``seq`` axis only, so nothing crosses
+    the data axis inside the loss.  The returned per-sample NLL is the
+    global ``[B]`` (out_specs concatenate the data shards).
     """
     n = mesh.shape[seq_axis]
+    ba = batch_axis
 
     def _noblank_local(em, input_lengths, target_lengths):
         k = jax.lax.axis_index(seq_axis)
@@ -192,13 +201,15 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
         return -final
 
     if mode == "noblank":
-        local, in_specs = _noblank_local, (P(seq_axis), P(), P())
+        local, in_specs = _noblank_local, (P(seq_axis, ba), P(ba), P(ba))
     elif mode == "noblank_logits":
-        local, in_specs = _noblank_logits_local, (P(seq_axis), P(), P(), P())
+        local, in_specs = (
+            _noblank_logits_local, (P(seq_axis, ba), P(ba), P(ba), P(ba))
+        )
     elif mode == "binary":
-        local, in_specs = _binary_local, (P(seq_axis), P(), P(), P())
+        local, in_specs = _binary_local, (P(seq_axis, ba), P(ba), P(ba), P(ba))
     elif mode == "blank":
-        local, in_specs = _blank_local, (P(seq_axis), P(), P(), P())
+        local, in_specs = _blank_local, (P(seq_axis, ba), P(ba), P(ba), P(ba))
     else:
         raise ValueError(f"unknown seq-sharded lattice mode {mode!r}")
 
@@ -206,7 +217,7 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
         local,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(),
+        out_specs=P(ba),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -214,7 +225,7 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
 
 def make_seq_sharded_loss(mesh, loss_kind: str, *, seq_axis: str = SEQ_AXIS,
                           num_microbatches: int | None = None,
-                          blank: int = 0):
+                          blank: int = 0, batch_axis: str | None = None):
     """A drop-in replacement for the :mod:`ctc_tpu.losses` entry points with
     the lattice's T axis pipelined over the mesh's ``seq`` axis — the
     Trainer's long-T option (``--seq-parallel``).
@@ -231,6 +242,7 @@ def make_seq_sharded_loss(mesh, loss_kind: str, *, seq_axis: str = SEQ_AXIS,
     nll_fn = make_seq_sharded_lattice_nll(
         mesh, mode=mode, seq_axis=seq_axis,
         num_microbatches=num_microbatches, blank=blank,
+        batch_axis=batch_axis,
     )
 
     def loss_fn(logits, paths, input_lengths, target_lengths,

@@ -271,12 +271,19 @@ class Trainer:
         ``seq_parallel`` > 1: pipeline the lattice's T axis over that many
         devices (the long-T strategy of SURVEY.md §5.7 — boundary-row
         ppermute exchange); ``seq_microbatches`` ≥ the shard count shrinks
-        the pipeline bubble.  Mutually exclusive with ``mesh``.
+        the pipeline bubble.
 
         ``model_parallel`` > 1 (binary loss only): shard the 157-class BCE
         emission contraction over a ``model`` mesh axis with one psum of
         partial emissions (SURVEY.md §2.5 item 2,
-        :mod:`ctc_tpu.parallel.class_sharded`)."""
+        :mod:`ctc_tpu.parallel.class_sharded`).
+
+        Axes COMPOSE: pass ``mesh=make_mesh(data=D, model=M)`` together
+        with ``model_parallel=M`` (or ``make_mesh(data=D, seq=S)`` with
+        ``seq_parallel=S``) and batches shard over ``data`` while the loss
+        shards its second axis — the pod-scale composition of SURVEY.md
+        §2.5 items 1-2 / §5.7.  Only ``model_parallel`` with
+        ``seq_parallel`` is rejected (both shard the same lattice)."""
         if print_test_freq is None:
             print_test_freq = print_freq
         self.model = model
@@ -335,73 +342,91 @@ class Trainer:
             )
         self.mesh = mesh
         seq_loss_fn = None
+        composed = False
+        if model_parallel > 1 and seq_parallel > 1:
+            raise ValueError(
+                "model_parallel and seq_parallel cannot be combined — the "
+                "class axis and the T pipeline shard the same lattice"
+            )
         if model_parallel > 1:
-            if mesh is not None or seq_parallel > 1:
-                raise ValueError(
-                    "model_parallel combines with data/seq axes only at the "
-                    "library level (make_mesh(data=..., model=...)) — pick "
-                    "one trainer axis"
-                )
             if loss_kind != "binary":
                 raise ValueError(
                     "model_parallel shards the binary loss's class axis; "
                     f"got loss {loss_kind!r}"
                 )
-            import numpy as np
-            from jax.sharding import Mesh
-
             from ctc_tpu.parallel.class_sharded import (
-                make_class_sharded_binary_nll,
+                make_class_sharded_binary_loss,
             )
 
-            cmesh = Mesh(
-                np.asarray(jax.devices()[:model_parallel]), ("model",)
-            )
-
-            def seq_loss_fn(logits, paths, input_lengths, target_lengths,
-                            implementation=None, interpret=False,
-                            _n=model_parallel, _mesh=cmesh):
-                del interpret
-                c = logits.shape[2]
-                nll_fn = make_class_sharded_binary_nll(
-                    _mesh, num_classes=c, implementation=implementation,
-                    reduction="mean",
+            if mesh is not None:
+                # composed data×model: the passed mesh carries both axes;
+                # batches shard over 'data', the 157-class emission
+                # contraction over 'model' (SURVEY.md §2.5 items 1-2)
+                if dict(mesh.shape).get("model", 1) != model_parallel:
+                    raise ValueError(
+                        f"mesh {dict(mesh.shape)} lacks a 'model' axis of "
+                        f"size {model_parallel} — build it with "
+                        "make_mesh(data=..., model=...)"
+                    )
+                seq_loss_fn = make_class_sharded_binary_loss(
+                    mesh, batch_axis="data"
                 )
-                pad = (-c) % _n
-                if pad:  # C=157 need not divide the axis; pads are masked
-                    logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)))
-                    paths = jnp.pad(paths, ((0, 0), (0, 0), (0, pad)))
-                return nll_fn(logits, paths, input_lengths, target_lengths)
+                composed = True
+            else:
+                import numpy as np
+                from jax.sharding import Mesh
+
+                cmesh = Mesh(
+                    np.asarray(jax.devices()[:model_parallel]), ("model",)
+                )
+                seq_loss_fn = make_class_sharded_binary_loss(cmesh)
 
         if seq_parallel > 1:
-            if mesh is not None:
-                raise ValueError(
-                    "seq_parallel and a data-parallel mesh are mutually "
-                    "exclusive — pick one axis per trainer"
-                )
             if loss_kind not in ("noblank", "binary", "blank"):
                 raise ValueError(
                     f"seq_parallel needs a lattice loss, got {loss_kind!r}"
                 )
-            import numpy as np
-            from jax.sharding import Mesh
-
             from ctc_tpu.parallel.seq_lattice import make_seq_sharded_loss
 
-            seq_mesh = Mesh(
-                np.asarray(jax.devices()[:seq_parallel]), ("seq",)
-            )
-            seq_loss_fn = make_seq_sharded_loss(
-                seq_mesh, loss_kind,
-                num_microbatches=(seq_microbatches or None),
-            )
-        if mesh is not None:
+            if mesh is not None:
+                # composed data×seq: per-data-shard T pipelines
+                # (SURVEY.md §2.5 item 1 × §5.7)
+                if dict(mesh.shape).get("seq", 1) != seq_parallel:
+                    raise ValueError(
+                        f"mesh {dict(mesh.shape)} lacks a 'seq' axis of "
+                        f"size {seq_parallel} — build it with "
+                        "make_mesh(data=..., seq=...)"
+                    )
+                seq_loss_fn = make_seq_sharded_loss(
+                    mesh, loss_kind,
+                    num_microbatches=(seq_microbatches or None),
+                    batch_axis="data",
+                )
+                composed = True
+            else:
+                import numpy as np
+                from jax.sharding import Mesh
+
+                seq_mesh = Mesh(
+                    np.asarray(jax.devices()[:seq_parallel]), ("seq",)
+                )
+                seq_loss_fn = make_seq_sharded_loss(
+                    seq_mesh, loss_kind,
+                    num_microbatches=(seq_microbatches or None),
+                )
+        if mesh is not None and not composed:
             from ctc_tpu.parallel.steps import make_sharded_train_step
 
             self.train_step = make_sharded_train_step(
                 model, mesh, loss_kind, implementation, ce_weight=ce_weight
             )
         else:
+            # single-device, or a composed (data, model)/(data, seq) mesh:
+            # the plain jitted step consumes 'data'-sharded batches and
+            # replicated params — XLA GSPMD partitions the model fwd/bwd
+            # (inserting the gradient all-reduce) while the loss's own
+            # shard_map pins the second-axis layout.  BatchNorm reduces over
+            # the full global batch, so this matches single-device exactly.
             self.train_step = make_train_step(model, loss_kind,
                                               implementation, ce_weight,
                                               loss_fn=seq_loss_fn)

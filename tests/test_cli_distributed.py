@@ -178,7 +178,8 @@ def test_cli_i3d_chunk_flag_plumbed():
 
     cfg = config_lib.parse([
         "--dataset", "charades_pixels", "--i3d-chunk", "40",
-        "--cache-dir", "/tmp/i3dchunk", "--name", "t",
+        "--batch-size", "16", "--temporal", "10",  # 160 % 40 == 0: chunk
+        "--cache-dir", "/tmp/i3dchunk", "--name", "t",  # validates at parse
     ])
     assert cfg.i3d_chunk == 40
     model = I3DLSTM(

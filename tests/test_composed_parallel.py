@@ -1,0 +1,230 @@
+"""Composed parallelism axes: data×model and data×seq end-to-end.
+
+Round-3 verdict's top structural gap: `make_mesh(data=..., model=...)` built
+a 2-axis mesh but no train step sharded two axes.  These tests pin the
+composition the blueprint promises (SURVEY.md §2.5 items 1-2 × §5.7, the
+reference's DDP wrap /root/reference/models/__init__.py:33-43 being the
+single-axis ancestor): batches shard over ``data`` while the loss shards its
+class axis (binary) or T axis (lattice pipeline) — and the composed run
+reproduces the single-device run exactly (dropout 0).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctc_tpu.cli.main import main
+from ctc_tpu.data import synthetic_feature_batches
+from ctc_tpu.models import LSTMHead
+from ctc_tpu.parallel.mesh import make_mesh
+from ctc_tpu.train import Trainer
+
+
+def _trainer_pair(mesh, batches, hidden, **kwargs):
+    model = LSTMHead(hidden=hidden, dropout_rate=0.0)
+    common = dict(lr=1e-3, seed=0, implementation="xla")
+    composed = Trainer(model, mesh=mesh, **common, **kwargs)
+    plain = Trainer(model, **common,
+                    loss_kind=kwargs["loss_kind"])
+    return composed, plain
+
+
+def _assert_steps_match(tr_c, tr_p, batch, steps=3):
+    s_c = tr_c.init_state(batch)
+    s_p = tr_p.init_state(batch)
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(0)
+    for i in range(steps):
+        s_c, m_c = tr_c.train_step(s_c, tr_c._place(b), rng)
+        s_p, m_p = tr_p.train_step(s_p, b, rng)
+        np.testing.assert_allclose(
+            float(m_c["loss"]), float(m_p["loss"]), rtol=1e-4, atol=1e-5
+        )
+    # NOTE: params are deliberately NOT compared — leaves whose true
+    # gradient is exactly zero see only ~1e-9 fp-reorder noise, and Adam's
+    # normalized first step turns uncorrelated noise into arbitrary-sign
+    # ~1e-4 deltas.  Gradient equality through the full model is asserted
+    # by test_composed_grads_match_through_model instead.
+    np.testing.assert_allclose(
+        float(tr_c.eval_step(s_c, tr_c._place(b))["loss"]),
+        float(tr_p.eval_step(s_p, b)["loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("data,model_axis", [(2, 4), (4, 2)])
+def test_composed_data_model_binary(data, model_axis):
+    """(data×model) mesh: batches sharded over 'data', the 157-class binary
+    emission contraction sharded over 'model' (C=30 not divisible by the
+    axis exercises pad-class masking) == single-device training."""
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=8, temporal=12, feat_dim=16,
+        num_classes=30, max_path=6, seed=4, binary=True,
+    )
+    mesh = make_mesh(data=data, model=model_axis)
+    tr_c, tr_p = _trainer_pair(
+        mesh, batches, hidden=30,
+        loss_kind="binary", model_parallel=model_axis,
+    )
+    _assert_steps_match(tr_c, tr_p, batches[0])
+
+
+@pytest.mark.parametrize("data,seq,loss_kind", [
+    (2, 4, "noblank"), (4, 2, "noblank"), (2, 4, "binary"), (2, 4, "blank"),
+])
+def test_composed_data_seq(data, seq, loss_kind):
+    """(data×seq) mesh: per-data-shard T pipelines with ppermute boundary
+    exchange == single-device training, for every lattice loss."""
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=8, temporal=8, feat_dim=16,
+        num_classes=11, max_path=4, seed=1, binary=(loss_kind == "binary"),
+    )
+    mesh = make_mesh(data=data, seq=seq)
+    tr_c, tr_p = _trainer_pair(
+        mesh, batches, hidden=11,
+        loss_kind=loss_kind, seq_parallel=seq,
+    )
+    _assert_steps_match(tr_c, tr_p, batches[0])
+
+
+def test_composed_data_seq_microbatch_knob():
+    """seq_microbatches above the shard count is value-invariant in the
+    composed step too."""
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=8, temporal=8, feat_dim=16,
+        num_classes=11, max_path=4, seed=2,
+    )
+    mesh = make_mesh(data=2, seq=2)
+    tr_c, tr_p = _trainer_pair(
+        mesh, batches, hidden=11,
+        loss_kind="noblank", seq_parallel=2, seq_microbatches=4,
+    )
+    _assert_steps_match(tr_c, tr_p, batches[0], steps=2)
+
+
+@pytest.mark.parametrize("kind", ["model", "seq"])
+def test_composed_grads_match_through_model(kind):
+    """d(loss)/d(params) through model forward + composed sharded loss ==
+    the plain loss's gradients (the GSPMD fwd/bwd × shard_map loss
+    composition is exact, not just loss-value-equal)."""
+    from ctc_tpu import losses
+    from ctc_tpu.parallel.class_sharded import make_class_sharded_binary_loss
+    from ctc_tpu.parallel.seq_lattice import make_seq_sharded_loss
+
+    binary = kind == "model"
+    t, b, c, l = 8, 8, 30, 4
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=b, temporal=t, feat_dim=16,
+        num_classes=c, max_path=l, seed=7, binary=binary,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    model = LSTMHead(hidden=c, dropout_rate=0.0)
+    feats = jnp.transpose(batch["feats"], (1, 0, 2))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feats, train=False,
+    )
+    if binary:
+        mesh = make_mesh(data=2, model=4)
+        sharded_loss = make_class_sharded_binary_loss(mesh, batch_axis="data")
+        plain_loss = losses.no_blank_binary_ctc_loss
+    else:
+        mesh = make_mesh(data=2, seq=4)
+        sharded_loss = make_seq_sharded_loss(mesh, "noblank",
+                                             batch_axis="data")
+        plain_loss = losses.no_blank_ctc_loss
+
+    def make_obj(loss_fn):
+        def obj(params):
+            logits = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                feats, train=False,
+            )
+            return loss_fn(logits, batch["paths"], batch["input_lengths"],
+                           batch["target_lengths"], implementation="xla")
+        return obj
+
+    l_c, g_c = jax.value_and_grad(make_obj(sharded_loss))(variables["params"])
+    l_p, g_p = jax.value_and_grad(make_obj(plain_loss))(variables["params"])
+    np.testing.assert_allclose(float(l_c), float(l_p), rtol=1e-5, atol=1e-6)
+    for a, c_ in zip(jax.tree_util.tree_leaves(g_p),
+                     jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c_), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_trainer_rejects_model_plus_seq():
+    model = LSTMHead(hidden=8, dropout_rate=0.0)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        Trainer(model, loss_kind="binary", model_parallel=2, seq_parallel=2)
+
+
+def test_trainer_rejects_mesh_without_axis():
+    """A data-only mesh + model_parallel must fail loudly, not silently
+    train unsharded."""
+    model = LSTMHead(hidden=8, dropout_rate=0.0)
+    mesh = make_mesh(data=8)
+    with pytest.raises(ValueError, match="model"):
+        Trainer(model, loss_kind="binary", mesh=mesh, model_parallel=4)
+    with pytest.raises(ValueError, match="seq"):
+        Trainer(model, loss_kind="noblank", mesh=mesh, seq_parallel=4)
+
+
+def test_make_mesh_rejects_both_axes():
+    with pytest.raises(ValueError, match="one second axis"):
+        make_mesh(data=2, model=2, seq=2)
+
+
+def _argv(tmp_path, name, extra=()):
+    return [
+        "--dataset", "synthetic", "--epochs", "2", "--batch-size", "8",
+        "--temporal", "8", "--extract-feat-dim", "32",
+        "--dropout", "0.0", "--lr", "0.001",
+        "--cache-dir", str(tmp_path), "--name", name,
+        "--print-train-freq", "100", "--print-test-freq", "100",
+        *extra,
+    ]
+
+
+def _assert_histories_match(a, b):
+    assert len(a) == len(b) == 2
+    for h_a, h_b in zip(a, b):
+        np.testing.assert_allclose(
+            h_a["train"]["loss"], h_b["train"]["loss"], rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            h_a["val"]["loss"], h_b["val"]["loss"], rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("dp,mp", [("2", "4"), ("4", "2")])
+def test_cli_composed_data_model(tmp_path, dp, mp):
+    """`--data-parallel D --model-parallel M --loss binary` through cli.main
+    == the single-device CLI run (product-level composition)."""
+    single = main(_argv(tmp_path, f"single-dm{dp}{mp}", ["--loss", "binary"]))
+    composed = main(_argv(
+        tmp_path, f"dm{dp}x{mp}",
+        ["--loss", "binary", "--data-parallel", dp, "--model-parallel", mp],
+    ))
+    _assert_histories_match(single, composed)
+
+
+def test_cli_composed_data_seq(tmp_path):
+    """`--data-parallel 2 --seq-parallel 4` through cli.main == the
+    single-device CLI run."""
+    single = main(_argv(tmp_path, "single-ds"))
+    composed = main(_argv(
+        tmp_path, "ds2x4", ["--data-parallel", "2", "--seq-parallel", "4"],
+    ))
+    _assert_histories_match(single, composed)
+
+
+def test_cli_composed_rejects_bad_temporal(tmp_path):
+    with pytest.raises(SystemExit, match="divisible"):
+        main(_argv(tmp_path, "badt",
+                   ["--temporal", "6", "--data-parallel", "2",
+                    "--seq-parallel", "4"]))
