@@ -35,14 +35,15 @@ def get_dataset(cfg):
 
 def main(argv=None):
     cfg = config_lib.parse(argv)
-    Tee(os.path.join(cfg.cache, "log.txt"))
-    print(f"config: {cfg}")
-    seed_everything(cfg.manual_seed)
-
     if cfg.distributed:
+        # must run before ANYTHING initializes the XLA backend
+        # (seed_everything touches jax.random)
         from ctc_tpu.parallel.mesh import init_distributed
 
         init_distributed(cfg.coordinator, cfg.num_hosts, cfg.host_id)
+    Tee(os.path.join(cfg.cache, "log.txt"))
+    print(f"config: {cfg}")
+    seed_everything(cfg.manual_seed)
 
     # data-parallel mesh (reference DDP wrap, models/__init__.py:33-43):
     # --data-parallel N shards batches over an N-device 'data' axis with
@@ -66,13 +67,17 @@ def main(argv=None):
             seq=max(cfg.seq_parallel, 1),
         )
         n_data = mesh.shape["data"]
-        if cfg.batch_size % n_data:
+        # --batch-size is per-host (DistributedSampler semantics): the
+        # assembled global batch must split evenly over the data axis
+        global_batch = cfg.batch_size * jax.process_count()
+        if global_batch % n_data:
             raise SystemExit(
-                f"--batch-size {cfg.batch_size} must be divisible by the "
-                f"data-parallel axis ({n_data} devices)"
+                f"--batch-size {cfg.batch_size} × {jax.process_count()} "
+                f"hosts = global batch {global_batch} must be divisible by "
+                f"the data-parallel axis ({n_data} devices)"
             )
         if cfg.seq_parallel > 1:
-            local_b = cfg.batch_size // n_data
+            local_b = global_batch // n_data
             m = cfg.seq_microbatches or cfg.seq_parallel
             if local_b % m:
                 raise SystemExit(

@@ -32,9 +32,19 @@ def _final_step_batches(batches, loss: str):
 
 
 def get(cfg):
+    """``cfg.batch_size`` is the PER-HOST batch (DataLoader +
+    DistributedSampler semantics, reference datasets/__init__.py:17-20,28):
+    multi-host runs generate the same seeded GLOBAL batches on every host
+    and keep this host's contiguous row block — the trainer's
+    ``make_array_from_process_local_data`` reassembles the identical global
+    batch, so an H-host run reproduces the single-host run with batch
+    ``H * batch_size`` exactly."""
+    import jax
+
     num_classes = cfg.head_classes
+    pc = jax.process_count()
     common = dict(
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size * pc,
         temporal=max(cfg.temporal, 2),
         feat_dim=cfg.extract_feat_dim,
         num_classes=num_classes,
@@ -45,4 +55,12 @@ def get(cfg):
     if cfg.loss in ("ce", "bce", "mlce"):
         train = _final_step_batches(train, cfg.loss)
         val = _final_step_batches(val, cfg.loss)
+    if pc > 1:
+        lo = jax.process_index() * cfg.batch_size
+        hi = lo + cfg.batch_size
+
+        def local(batches):
+            return [{k: v[lo:hi] for k, v in b.items()} for b in batches]
+
+        train, val = local(train), local(val)
     return train, val
