@@ -170,6 +170,32 @@ def main(argv=None):
     if cfg.evaluate:
         metrics = trainer.validate(state, val_batches, epoch=start_epoch)
         print(f"evaluate: {metrics}")
+        if cfg.decode:
+            # greedy-decoded transition paths per val window (the decode
+            # product surface; blank collapse only for the blank loss)
+            from ctc_tpu.eval.video import decode_windows
+
+            seq_mesh = None
+            if cfg.seq_parallel > 1:
+                if mesh is not None and "seq" in mesh.shape:
+                    seq_mesh = mesh
+                else:
+                    import numpy as np
+                    from jax.sharding import Mesh
+
+                    seq_mesh = Mesh(
+                        np.asarray(jax.devices()[: cfg.seq_parallel]),
+                        ("seq",),
+                    )
+            out_csv = os.path.join(cfg.cache, "decoded_predictions.csv")
+            dec = decode_windows(
+                model, state, val_batches,
+                blank=(0 if cfg.loss == "blank" else -1),
+                out_csv=out_csv, seq_mesh=seq_mesh,
+            )
+            print(f"decoded transition paths: {len(dec['lengths'])} windows "
+                  f"-> {out_csv}")
+            metrics["decoded_csv"] = out_csv
         # video-level mAP when the dataset provides a val_video split
         try:
             loader_mod = importlib.import_module(

@@ -46,6 +46,11 @@ class Config:
     # transition metric family in validate (train.py:556-584 intent)
     video_eval: bool = False
     transition_metrics: bool = False
+    # --evaluate companion: greedy-decode the label-transition path of every
+    # val window (collapse repeats; drop blanks for --loss blank) into
+    # decoded_predictions.csv — uses the seq-sharded collective decode when
+    # --seq-parallel is on (SURVEY.md §2.4 "greedy decode parity" surface)
+    decode: bool = False
     inputsize: int = 224
     extract_feat_dim: int = 1024
     manual_seed: int = 0

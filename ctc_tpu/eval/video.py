@@ -109,6 +109,81 @@ def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
             "per_class_ap": per_class}
 
 
+def decode_windows(model, state, batches, *, blank: int = -1,
+                   out_csv: str | None = None, seq_mesh=None):
+    """Greedy-decode the label-transition path of every window.
+
+    The product surface for :mod:`ctc_tpu.decode` (the reference never
+    decodes — its prediction is the final timestep's argmax,
+    /root/reference/train.py:434; this emits the full collapsed transition
+    path the lattice was trained on).
+
+    Args:
+      batches: iterable of batch dicts (``feats [B, T, F]``,
+        ``input_lengths [B]``) — e.g. the val loader.
+      blank: blank id for the repeat/blank collapse; ``-1`` (default) for
+        the blank-free losses = collapse repeats only.
+      out_csv: optional path — one row per window:
+        ``batch, index, length, path`` (space-joined class indices).
+      seq_mesh: a Mesh with a ``seq`` axis — decode runs T-sharded with
+        ppermute boundary-label exchange
+        (:func:`ctc_tpu.parallel.seq_lattice.make_seq_sharded_greedy_decode`).
+
+    Returns ``{"decoded": [N, T] -1-padded, "lengths": [N]}``.
+    """
+    import csv
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_tpu.decode.greedy import greedy_decode
+
+    seq_decode = None
+    if seq_mesh is not None:
+        from ctc_tpu.parallel.seq_lattice import (
+            make_seq_sharded_greedy_decode,
+            shard_time_axis,
+        )
+
+        seq_decode = make_seq_sharded_greedy_decode(seq_mesh, blank=blank)
+
+    @jax.jit
+    def forward(x):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.transpose(x, (1, 0, 2)),
+            train=False,
+        )  # [T, B, C]
+
+    all_decoded, all_lengths, rows = [], [], []
+    for bi, batch in enumerate(batches):
+        logits = forward(jnp.asarray(batch["feats"]))
+        input_lengths = jnp.asarray(batch["input_lengths"])
+        if seq_decode is not None:
+            decoded, lengths = seq_decode(
+                shard_time_axis(logits, seq_mesh), input_lengths
+            )
+        else:
+            decoded, lengths, _ = greedy_decode(
+                logits, input_lengths, blank=blank
+            )
+        decoded, lengths = np.asarray(decoded), np.asarray(lengths)
+        all_decoded.append(decoded)
+        all_lengths.append(lengths)
+        for i in range(decoded.shape[0]):
+            path = " ".join(str(int(c)) for c in decoded[i, : lengths[i]])
+            rows.append([bi, i, int(lengths[i]), path])
+    if out_csv:
+        with open(out_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["batch", "index", "length", "path"])
+            writer.writerows(rows)
+    return {
+        "decoded": np.concatenate(all_decoded, axis=0),
+        "lengths": np.concatenate(all_lengths, axis=0),
+    }
+
+
 def evaluate_own_video(model, state, data, *, out_csv: str | None = None,
                        topk: int = 5, batch_size: int = 10):
     """Qualitative own-video evaluation — the reference's my-dataset path
