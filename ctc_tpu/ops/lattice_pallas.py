@@ -114,7 +114,18 @@ def _choose_tiles(max_t: int, max_l: int, layout: str,
         # B=256 with tile=512).
         b128 = _round_up(batch, 128)
         cap = next((t for t in (512, 256, 128) if t <= b128), 128)
-        ideal = min(cap, ideal)
+        if cap < ideal:
+            # The batch is too small for the vreg-target tile.  Measured
+            # (probe_binary_ab.py, r4 — the r3 binary-e2e drift): when the
+            # cap binds, taking the capped width is a LOSS — at the binary
+            # bench shape (l_pad=32, B=256; ideal 512, cap 256) tile 256
+            # ran 1.0-2.0 ms e2e vs 0.82-0.85 at 128, while the lattice
+            # kernel alone was tile-insensitive (0.66-0.67 ms flat at
+            # 128/256/512) — the cost lives in the emission-einsum/kernel
+            # block interaction.  128 (the most-pipelined probed width)
+            # reproduces r2's committed number; the train-step shape
+            # measured tile-indifferent (0.11-0.14 ms at 128 and 256).
+            ideal = 128
         # ideal first; if it overflows VMEM only *smaller* tiles can fit.
         tiles = (ideal,) + tuple(t for t in (512, 256, 128) if t < ideal)
     else:
