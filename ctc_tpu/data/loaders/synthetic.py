@@ -43,9 +43,17 @@ def get(cfg):
 
     num_classes = cfg.head_classes
     pc = jax.process_count()
+    temporal = max(cfg.temporal, 2)
+    # Blank CTC feasibility: a drawn label can equal 0 (the blank id), and
+    # torch's skip rule (z[s] != blank) forces such labels through the
+    # preceding blank slot — one extra frame.  L <= T/2 keeps every target
+    # feasible (the reference's real datasets cap L = adjust_time << T the
+    # same way, charades_ver2_c_class.py:333); L == T made one sample per
+    # batch infeasible -> sentinel-scale NLL.
     common = dict(
         batch_size=cfg.batch_size * pc,
-        temporal=max(cfg.temporal, 2),
+        temporal=temporal,
+        max_path=(max(temporal // 2, 2) if cfg.loss == "blank" else None),
         feat_dim=cfg.extract_feat_dim,
         num_classes=num_classes,
         binary=(cfg.loss in ("binary", "bce", "mlce")),

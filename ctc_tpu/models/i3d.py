@@ -37,6 +37,11 @@ class Unit3D(nn.Module):
     use_bias: bool = False
     activation: Callable | None = nn.relu
     dtype: Any = None  # conv compute dtype (bf16 on TPU); BN/params in f32
+    # inter-layer activation dtype: f32 (default — parity with the mixed-
+    # precision tests) or bf16 to halve activation HBM traffic between
+    # layers (BN statistics/params stay f32 inside flax; see
+    # probe_pixels_mfu_ab.py for the measured effect)
+    act_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -49,12 +54,14 @@ class Unit3D(nn.Module):
             dtype=self.dtype,
             name="conv3d",
         )(x)
-        x = x.astype(jnp.float32)
+        x = x.astype(self.act_dtype)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.99,
                 epsilon=1e-3,
+                dtype=(None if self.act_dtype == jnp.float32
+                       else self.act_dtype),
                 name="bn",
             )(x)
         if self.activation is not None:
@@ -74,18 +81,19 @@ class InceptionModule(nn.Module):
 
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3b]
     dtype: Any = None
+    act_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         oc = self.out_channels
-        d = self.dtype
-        b0 = Unit3D(oc[0], (1, 1, 1), dtype=d, name="b0")(x, train=train)
-        b1 = Unit3D(oc[1], (1, 1, 1), dtype=d, name="b1a")(x, train=train)
-        b1 = Unit3D(oc[2], (3, 3, 3), dtype=d, name="b1b")(b1, train=train)
-        b2 = Unit3D(oc[3], (1, 1, 1), dtype=d, name="b2a")(x, train=train)
-        b2 = Unit3D(oc[4], (3, 3, 3), dtype=d, name="b2b")(b2, train=train)
+        kw = dict(dtype=self.dtype, act_dtype=self.act_dtype)
+        b0 = Unit3D(oc[0], (1, 1, 1), name="b0", **kw)(x, train=train)
+        b1 = Unit3D(oc[1], (1, 1, 1), name="b1a", **kw)(x, train=train)
+        b1 = Unit3D(oc[2], (3, 3, 3), name="b1b", **kw)(b1, train=train)
+        b2 = Unit3D(oc[3], (1, 1, 1), name="b2a", **kw)(x, train=train)
+        b2 = Unit3D(oc[4], (3, 3, 3), name="b2b", **kw)(b2, train=train)
         b3 = _max_pool_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), dtype=d, name="b3b")(b3, train=train)
+        b3 = Unit3D(oc[5], (1, 1, 1), name="b3b", **kw)(b3, train=train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -124,6 +132,7 @@ class InceptionI3d(nn.Module):
     dropout_rate: float = 0.5
     final_endpoint: str = "Mixed_5c"
     dtype: Any = None  # conv compute dtype (e.g. jnp.bfloat16)
+    act_dtype: Any = jnp.float32  # inter-layer activation dtype (see Unit3D)
 
     @nn.compact
     def __call__(
@@ -150,12 +159,14 @@ class InceptionI3d(nn.Module):
             if spec[0] == "unit":
                 _, feats, kernel, stride = spec
                 x = Unit3D(feats, kernel, stride, dtype=self.dtype,
-                           name=name)(x, train=train)
+                           act_dtype=self.act_dtype, name=name)(x,
+                                                                train=train)
             elif spec[0] == "pool":
                 _, kernel, stride = spec
                 x = _max_pool_same(x, kernel, stride)
             else:
-                x = InceptionModule(spec[1], dtype=self.dtype, name=name)(
+                x = InceptionModule(spec[1], dtype=self.dtype,
+                                    act_dtype=self.act_dtype, name=name)(
                     x, train=train
                 )
             if name == self.final_endpoint:

@@ -40,12 +40,21 @@ class I3DLSTM(nn.Module):
     dropout_rate: float = 0.3
     freeze_backbone: bool = True
     i3d_dtype: Any = None  # conv compute dtype (e.g. jnp.bfloat16)
+    # inter-layer activation dtype for the backbone (f32 default; bf16
+    # halves conv activation HBM traffic — see probe_pixels_mfu_ab.py)
+    i3d_act_dtype: Any = None
     bn_axis_name: str | None = None
     feat_chunk: int = 0
 
     @nn.compact
     def __call__(self, clips: jnp.ndarray, *, train: bool = False):
-        i3d = InceptionI3d(dtype=self.i3d_dtype, name="i3d")
+        import jax.numpy as _jnp
+
+        i3d = InceptionI3d(
+            dtype=self.i3d_dtype,
+            act_dtype=(self.i3d_act_dtype or _jnp.float32),
+            name="i3d",
+        )
         if self.feat_chunk:
             if not self.freeze_backbone:
                 raise ValueError(
