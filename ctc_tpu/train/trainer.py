@@ -417,8 +417,17 @@ class Trainer:
         if mesh is not None and not composed:
             from ctc_tpu.parallel.steps import make_sharded_train_step
 
+            # frozen-backbone pixels mode: the I3D grads are exact zeros
+            # (stop_gradient), so skip their 49 MB share of the pmean
+            frozen = (
+                ("i3d",)
+                if (i3d_optimizer is not None
+                    and not i3d_optimizer.get("finetune", False))
+                else ()
+            )
             self.train_step = make_sharded_train_step(
-                model, mesh, loss_kind, implementation, ce_weight=ce_weight
+                model, mesh, loss_kind, implementation, ce_weight=ce_weight,
+                frozen_subtrees=frozen,
             )
         else:
             # single-device, or a composed (data, model)/(data, seq) mesh:
