@@ -90,7 +90,9 @@ class I3DLSTM(nn.Module):
             )  # [B, T, 1024]
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
-        feats = jnp.transpose(feats, (1, 0, 2))  # [T, B, F]
+        # the head always runs f32 (bf16 backbone activations stop here —
+        # the LSTM recurrence carry is f32 by contract)
+        feats = jnp.transpose(feats, (1, 0, 2)).astype(jnp.float32)
         return LSTMHead(
             hidden=self.hidden,
             dropout_rate=self.dropout_rate,
