@@ -187,11 +187,21 @@ def main(argv=None):
                         np.asarray(jax.devices()[: cfg.seq_parallel]),
                         ("seq",),
                     )
+            if cfg.decode_beam and cfg.loss != "blank":
+                raise SystemExit(
+                    "--decode-beam needs a blank symbol: use --loss blank"
+                )
+            if cfg.decode_beam and seq_mesh is not None:
+                raise SystemExit(
+                    "--decode-beam does not compose with --seq-parallel "
+                    "(greedy decode does)"
+                )
             out_csv = os.path.join(cfg.cache, "decoded_predictions.csv")
             dec = decode_windows(
                 model, state, val_batches,
                 blank=(0 if cfg.loss == "blank" else -1),
                 out_csv=out_csv, seq_mesh=seq_mesh,
+                beam_width=cfg.decode_beam,
             )
             print(f"decoded transition paths: {len(dec['lengths'])} windows "
                   f"-> {out_csv}")

@@ -51,6 +51,9 @@ class Config:
     # decoded_predictions.csv — uses the seq-sharded collective decode when
     # --seq-parallel is on (SURVEY.md §2.4 "greedy decode parity" surface)
     decode: bool = False
+    # > 0: decode with prefix beam search of this width instead of greedy
+    # (blank loss only — the beam tracks blank/non-blank prefix mass)
+    decode_beam: int = 0
     inputsize: int = 224
     extract_feat_dim: int = 1024
     manual_seed: int = 0

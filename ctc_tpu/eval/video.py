@@ -110,7 +110,8 @@ def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
 
 
 def decode_windows(model, state, batches, *, blank: int = -1,
-                   out_csv: str | None = None, seq_mesh=None):
+                   out_csv: str | None = None, seq_mesh=None,
+                   beam_width: int = 0):
     """Greedy-decode the label-transition path of every window.
 
     The product surface for :mod:`ctc_tpu.decode` (the reference never
@@ -128,6 +129,10 @@ def decode_windows(model, state, batches, *, blank: int = -1,
       seq_mesh: a Mesh with a ``seq`` axis — decode runs T-sharded with
         ppermute boundary-label exchange
         (:func:`ctc_tpu.parallel.seq_lattice.make_seq_sharded_greedy_decode`).
+      beam_width: > 0 decodes with prefix beam search instead of greedy
+        (:func:`ctc_tpu.decode.beam_search_decode`, best beam kept) —
+        blank-CTC only (the beam tracks blank/non-blank prefix mass), and
+        exclusive with ``seq_mesh``.
 
     Returns ``{"decoded": [N, T] -1-padded, "lengths": [N]}``.
     """
@@ -137,6 +142,15 @@ def decode_windows(model, state, batches, *, blank: int = -1,
     import jax.numpy as jnp
 
     from ctc_tpu.decode.greedy import greedy_decode
+
+    if beam_width:
+        if blank < 0:
+            raise ValueError(
+                "beam decode needs a blank symbol (--loss blank)"
+            )
+        if seq_mesh is not None:
+            raise ValueError("beam decode does not compose with seq_mesh")
+        from ctc_tpu.decode import beam_search_decode
 
     seq_decode = None
     if seq_mesh is not None:
@@ -163,6 +177,15 @@ def decode_windows(model, state, batches, *, blank: int = -1,
             decoded, lengths = seq_decode(
                 shard_time_axis(logits, seq_mesh), input_lengths
             )
+        elif beam_width:
+            prefixes, lens, _scores = beam_search_decode(
+                logits, input_lengths, beam_width=beam_width, blank=blank
+            )
+            decoded = jnp.where(
+                jnp.arange(prefixes.shape[2])[None, :] < lens[:, 0, None],
+                prefixes[:, 0, :], -1,
+            ).astype(jnp.int32)
+            lengths = lens[:, 0]
         else:
             decoded, lengths, _ = greedy_decode(
                 logits, input_lengths, blank=blank

@@ -71,6 +71,17 @@ def load(directory: str, state, *, epoch: int | None = None):
         "score": 0.0,
     }
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def _replace(t, r):
+        # mesh-trained states: re-place every restored leaf onto the
+        # template's sharding so a replicated state restores replicated
+        # (a scalar coming back committed to device 0 next to 8-device
+        # params would make the jitted step reject the state)
+        if isinstance(t, jax.Array):
+            return jax.device_put(r, t.sharding)
+        return r
+
+    restored = jax.tree_util.tree_map(_replace, template, restored)
     new_state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

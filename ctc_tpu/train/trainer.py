@@ -485,11 +485,20 @@ class Trainer:
 
             params = replicate(params, self.mesh)
             batch_stats = replicate(batch_stats, self.mesh)
-        return TrainState.create(
+        state = TrainState.create(
             params=params,
             batch_stats=batch_stats,
             tx=self.tx,
         )
+        if self.mesh is not None:
+            # step/opt_state ride the mesh too: every leaf then carries a
+            # NamedSharding, so checkpoint restore (which re-places onto
+            # the template's shardings) cannot mix committed device sets
+            state = state.replace(
+                step=replicate(state.step, self.mesh),
+                opt_state=replicate(state.opt_state, self.mesh),
+            )
+        return state
 
     def _csv_writer(self, name):
         if not self.cache_dir:

@@ -216,3 +216,71 @@ def test_cli_evaluate_decode_flag(tmp_path):
     metrics_seq = main(argv("dec-seq", ["--seq-parallel", "4"]))
     rows_seq = list(csv.reader(open(metrics_seq["decoded_csv"])))
     assert rows_seq == rows  # sharded decode reproduces the plain paths
+
+
+def test_decode_windows_beam_matches_beam_search(tmp_path):
+    """beam_width routes decode_windows through prefix beam search (best
+    beam kept), and the CLI flag --decode-beam reaches it (blank loss)."""
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.eval.video import decode_windows
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.train import Trainer
+
+    c = 7
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=3, temporal=8, feat_dim=16,
+        num_classes=c, max_path=3, seed=9,
+    )
+    model = LSTMHead(hidden=c, dropout_rate=0.0)
+    tr = Trainer(model, loss_kind="blank", implementation="xla")
+    state = tr.init_state(batches[0])
+    out = decode_windows(model, state, batches, blank=0, beam_width=4)
+
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.transpose(jnp.asarray(batches[0]["feats"]), (1, 0, 2)),
+        train=False,
+    )
+    prefixes, lens, _ = beam_search_decode(
+        logits, jnp.asarray(batches[0]["input_lengths"]),
+        beam_width=4, blank=0,
+    )
+    np.testing.assert_array_equal(out["lengths"], np.asarray(lens[:, 0]))
+    for i in range(3):
+        n = int(lens[i, 0])
+        np.testing.assert_array_equal(
+            out["decoded"][i, :n], np.asarray(prefixes[i, 0, :n])
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="blank"):
+        decode_windows(model, state, batches, blank=-1, beam_width=4)
+
+
+def test_cli_decode_beam_flag(tmp_path):
+    import csv
+
+    from ctc_tpu.cli.main import main
+
+    metrics = main([
+        "--dataset", "synthetic", "--epochs", "1", "--batch-size", "4",
+        "--temporal", "8", "--extract-feat-dim", "16", "--dropout", "0.0",
+        "--c-class", "9", "--loss", "blank",
+        "--cache-dir", str(tmp_path), "--name", "beam",
+        "--print-train-freq", "100", "--print-test-freq", "100",
+        "--evaluate", "--decode", "--decode-beam", "4",
+    ])
+    rows = list(csv.reader(open(metrics["decoded_csv"])))
+    assert len(rows) - 1 == 8
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="blank"):
+        main([
+            "--dataset", "synthetic", "--epochs", "1", "--batch-size", "4",
+            "--temporal", "8", "--extract-feat-dim", "16",
+            "--cache-dir", str(tmp_path), "--name", "beam-bad",
+            "--print-train-freq", "100", "--print-test-freq", "100",
+            "--evaluate", "--decode", "--decode-beam", "4",
+        ])

@@ -66,3 +66,47 @@ def test_reads_reference_groundtruth_pickle():
     vid, rows = next(iter(table.items()))
     assert isinstance(vid, str)
     assert all(len(r) == 3 for r in rows[:5])
+
+
+def test_checkpoint_roundtrip_under_mesh(tmp_path):
+    """Orbax save/load round-trips a Trainer(mesh=...) state whose params
+    are replicated over an 8-device mesh (the multihost checkpoint path,
+    single-process form) — and a composed data×model state too."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.parallel.mesh import make_mesh
+    from ctc_tpu.train import Trainer
+    from ctc_tpu.train import checkpoints as ckpt
+
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=8, temporal=6, feat_dim=16,
+        num_classes=12, seed=3, binary=True,
+    )
+    for name, kwargs, mesh in (
+        ("dp", {}, make_mesh(data=8)),
+        ("dm", {"model_parallel": 4}, make_mesh(data=2, model=4)),
+    ):
+        tr = Trainer(LSTMHead(hidden=12, dropout_rate=0.0),
+                     loss_kind="binary", implementation="xla",
+                     mesh=mesh, **kwargs)
+        state = tr.init_state(batches[0])
+        state, _ = tr.train_step(
+            state, tr._place(batches[0]), jax.random.PRNGKey(0)
+        )
+        d = str(tmp_path / name)
+        ckpt.save(d, state, epoch=0, score=0.5)
+        fresh = tr.init_state(batches[0])
+        restored, epoch, score = ckpt.load(d, fresh)
+        assert epoch == 0 and abs(score - 0.5) < 1e-9
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the restored state still steps under the same mesh
+        restored, m = tr.train_step(
+            restored, tr._place(batches[0]), jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(m["loss"]))
