@@ -9,14 +9,13 @@ All measured metrics (no-blank Pallas, no-blank XLA-on-same-backend, binary
 NoBlankBinaryCTC end-to-end, blank CTC) are additionally written to
 ``BENCH_DETAILS.json``.  Details go to stderr.
 
-Timing methodology: an async dispatch loop (block at the end), timed twice —
-once re-using one input buffer (the round-1 methodology, comparable across
-rounds) and once cycling 8 distinct input buffers (defeats any
-content-addressed result caching in the remote execution pool).  The
-headline uses the slower of the two (caching can only inflate).  Chained
-data-dependent
-timing was evaluated and rejected: each chain link round-trips the 80 MB
-operand through the tunnel host, measuring transfer, not the kernel.
+Timing methodology: async dispatch loops (block at the end), each protocol
+(one reused buffer / 8 distinct buffers, the latter defeating the remote
+pool's content-addressed result cache) run as 5 repeated loops with the
+MEDIAN loop average reported; the headline is the slower of the two medians
+(caching can only deflate).  Chained data-dependent timing was evaluated
+and rejected: each chain link round-trips the 80 MB operand through the
+tunnel host, measuring transfer, not the kernel.
 
 The reference numbers come from running the GENUINE reference
 implementation (/root/reference/NoBlankCTC.py, ``.cuda()`` no-op'd) at its
@@ -49,19 +48,30 @@ def _loop(fn, bufs, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def measure(grad_fn, x0, iters=50, n_bufs=8):
-    """Seconds/step of grad_fn: (headline, same_buffer, distinct_buffers)."""
+def measure(grad_fn, x0, iters=50, n_bufs=8, reps=5):
+    """Seconds/step of grad_fn: (headline, same_buffer, distinct_buffers).
+
+    Each protocol (same-buffer / distinct-buffers) runs ``reps`` loops and
+    reports the MEDIAN loop average: single 50-iter loops of the identical
+    program have measured 0.8-2.2 ms within one session on this backend
+    (remote-pool scheduling), so a one-loop number is a lottery ticket
+    (round-3's "binary drift" was part regression, part exactly this).
+    The headline is the slower of the two medians (content caching can
+    only deflate the same-buffer run).
+    """
     import jax
 
     fn = jax.jit(grad_fn)
-    t_same = _loop(fn, [x0], iters)
     bufs = [x0 + 1e-4 * k for k in range(1, n_bufs + 1)]
     jax.block_until_ready(bufs)
-    t_uniq = _loop(fn, bufs, iters)
+    same_ts, uniq_ts = [], []
+    _loop(fn, [x0], 2)  # compile + warm
+    for _ in range(reps):
+        same_ts.append(_loop(fn, [x0], iters))
+        uniq_ts.append(_loop(fn, bufs, iters))
     del bufs
-    # caching inflates the same-buffer number (t_same << t_uniq); a pool
-    # fanning independent dispatches across chips inflates both equally, so
-    # prefer the slower (more honest) of the two.
+    t_same = float(np.median(same_ts))
+    t_uniq = float(np.median(uniq_ts))
     return max(t_same, t_uniq), t_same, t_uniq
 
 
@@ -297,7 +307,8 @@ def main():
         "blank_ctc": blank,
         "train_step": train,
         "reference_eager_cells_per_s": ref,
-        "methodology": ("async dispatch loop; max(same-buffer, "
+        "methodology": ("async dispatch loops; per protocol the median of "
+                        "5x50-iter loops; max(same-buffer, "
                         "8-distinct-buffers); train step = median of 6 "
                         "50-iter loops"),
     }
