@@ -139,6 +139,7 @@ def main(argv=None):
         seq_parallel=cfg.seq_parallel,
         seq_microbatches=cfg.seq_microbatches,
         model_parallel=cfg.model_parallel,
+        steps_per_dispatch=cfg.steps_per_dispatch,
     )
 
     state = trainer.init_state(train_batches[0])

@@ -87,6 +87,12 @@ class Config:
     seq_parallel: int = 0
     seq_microbatches: int = 0
 
+    # K optimizer steps per dispatched XLA program (lax.scan over stacked
+    # batches) — amortizes per-dispatch latency on remote/tunneled
+    # backends; exact K-single-step semantics. Incompatible with
+    # --data-parallel (batch placement assumes unstacked batches).
+    steps_per_dispatch: int = 1
+
     # training-health guards + crash recovery (SURVEY.md §5.1-§5.3; the
     # reference's closest artifacts are the unwired VerboseGradients and the
     # pdb post-mortem harness, ctc_exe.py:28-36)

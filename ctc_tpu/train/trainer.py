@@ -21,6 +21,8 @@ import csv
 import itertools
 import os
 import time
+
+import numpy as np
 from functools import partial
 from typing import Any, Callable
 
@@ -122,10 +124,17 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
     ``loss_fn`` overrides the registry lookup (e.g. the sequence-sharded
     lattice loss from :func:`ctc_tpu.parallel.seq_lattice.make_seq_sharded_loss`).
     """
+    body = _make_step_body(model, loss_kind, implementation, ce_weight,
+                           loss_fn)
+    return jax.jit(body)
+
+
+def _make_step_body(model, loss_kind, implementation, ce_weight, loss_fn):
+    """The unjitted single-step body shared by the plain jitted step and
+    the multi-step (steps-per-dispatch) scan."""
     loss_fn_core = loss_fn if loss_fn is not None else _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
 
-    @jax.jit
     def train_step(state: TrainState, batch, dropout_rng):
         feats = _model_input(batch["feats"])
         rng = jax.random.fold_in(dropout_rng, state.step)
@@ -162,6 +171,36 @@ def make_train_step(model, loss_kind: str = "noblank", implementation=None,
         return state, metrics
 
     return train_step
+
+
+def make_multi_train_step(model, loss_kind: str = "noblank",
+                          implementation=None, ce_weight: float = 0.0,
+                          loss_fn=None):
+    """K optimizer steps as ONE jitted program (``lax.scan`` over batches
+    stacked on a leading axis).
+
+    On dispatch-latency-bound backends (this one: ~0.1 ms device time
+    inside a ~1.2-1.7 ms dispatched feature-mode step) this amortizes the
+    per-dispatch overhead K-fold.  Semantics are EXACTLY K calls of the
+    single step: the dropout rng folds by ``state.step`` inside the body,
+    so substep k reproduces the k-th individual call bit-for-bit
+    (tests/test_trainer.py::test_steps_per_dispatch_matches_single_steps).
+
+    Takes a batch dict whose leaves are stacked ``[K, ...]``; returns
+    ``(state, metrics)`` with each metric a ``[K]`` vector (per substep).
+    """
+    body = _make_step_body(model, loss_kind, implementation, ce_weight,
+                           loss_fn)
+
+    @jax.jit
+    def multi_step(state: TrainState, batches, dropout_rng):
+        def scan_body(s, batch):
+            s, metrics = body(s, batch, dropout_rng)
+            return s, metrics
+
+        return jax.lax.scan(scan_body, state, batches)
+
+    return multi_step
 
 
 def make_eval_step(model, loss_kind: str = "noblank", implementation=None,
@@ -253,6 +292,7 @@ class Trainer:
         seq_parallel: int = 0,
         seq_microbatches: int = 0,
         model_parallel: int = 1,
+        steps_per_dispatch: int = 1,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis — the
         trainer then runs the shard_map train step with explicit
@@ -444,6 +484,22 @@ class Trainer:
         self.eval_step = make_eval_step(model, loss_kind, implementation,
                                         transition_metrics,
                                         loss_fn=seq_loss_fn)
+        self.steps_per_dispatch = max(steps_per_dispatch, 1)
+        if self.steps_per_dispatch > 1:
+            # K optimizer steps per dispatched program (lax.scan over
+            # stacked batches) — amortizes per-dispatch latency; exact
+            # K-single-step semantics.  Batch placement for mesh-sharded
+            # stacks is not wired, so data meshes keep K=1.
+            if mesh is not None:
+                raise ValueError(
+                    "steps_per_dispatch > 1 does not combine with a data "
+                    "mesh yet — the per-batch shard placement assumes an "
+                    "unstacked batch"
+                )
+            self.multi_step = make_multi_train_step(
+                model, loss_kind, implementation, ce_weight,
+                loss_fn=seq_loss_fn,
+            )
         self.cache_dir = cache_dir
         self.print_freq = print_freq
         self.print_test_freq = print_test_freq
@@ -511,31 +567,52 @@ class Trainer:
         dropout_rng = jax.random.fold_in(self.rng, epoch)
         log = self._csv_writer("train_log.csv")
         end = time.time()
-        for i, batch in enumerate(self._part(loader, self.train_size)):
-            n = batch["feats"].shape[0]
-            state, metrics = self.train_step(
-                state, self._place(batch), dropout_rng
-            )
-            meters["loss"].update(float(metrics["loss"]), n)
-            meters["top1"].update(float(metrics["top1"]), n)
-            meters["top5"].update(float(metrics["top5"]), n)
-            meters["time"].update(time.time() - end)
-            end = time.time()
-            if i % self.print_freq == 0:
-                print(
-                    f"Epoch: [{epoch}][{i}]\t"
-                    f"Loss {meters['loss'].val:.3f} ({meters['loss'].avg:.3f})\t"
-                    f"Prec@1 {meters['top1'].val:.3f} ({meters['top1'].avg:.3f})\t"
-                    f"Prec@5 {meters['top5'].val:.3f} ({meters['top5'].avg:.3f})"
-                )
-                if log:
-                    log[1].writerow(
-                        [epoch, i, meters["loss"].val, meters["top1"].val,
-                         meters["top5"].val]
+        k = self.steps_per_dispatch
+        it = iter(self._part(loader, self.train_size))
+        i = 0
+        while True:
+            group = list(itertools.islice(it, k))
+            if not group:
+                break
+            if k > 1 and len(group) == k:
+                stacked = {
+                    key: np.stack([np.asarray(b[key]) for b in group])
+                    for key in group[0]
+                }
+                state, mk = self.multi_step(state, stacked, dropout_rng)
+                metrics_list = [
+                    {kk: v[j] for kk, v in mk.items()} for j in range(k)
+                ]
+            else:  # K=1, or the epoch's sub-K remainder: single steps
+                metrics_list = []
+                for b in group:
+                    state, m = self.train_step(
+                        state, self._place(b), dropout_rng
                     )
+                    metrics_list.append(m)
+            for batch, metrics in zip(group, metrics_list):
+                n = batch["feats"].shape[0]
+                meters["loss"].update(float(metrics["loss"]), n)
+                meters["top1"].update(float(metrics["top1"]), n)
+                meters["top5"].update(float(metrics["top5"]), n)
+                meters["time"].update(time.time() - end)
+                end = time.time()
+                if i % self.print_freq == 0:
+                    print(
+                        f"Epoch: [{epoch}][{i}]\t"
+                        f"Loss {meters['loss'].val:.3f} ({meters['loss'].avg:.3f})\t"
+                        f"Prec@1 {meters['top1'].val:.3f} ({meters['top1'].avg:.3f})\t"
+                        f"Prec@5 {meters['top5'].val:.3f} ({meters['top5'].avg:.3f})"
+                    )
+                    if log:
+                        log[1].writerow(
+                            [epoch, i, meters["loss"].val,
+                             meters["top1"].val, meters["top5"].val]
+                        )
+                i += 1
         if log:
             log[0].close()
-        return state, {k: m.avg for k, m in meters.items()}
+        return state, {k_: m.avg for k_, m in meters.items()}
 
     def validate(self, state: TrainState, loader, epoch: int):
         meters: dict[str, AverageMeter] = {}

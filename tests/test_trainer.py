@@ -235,3 +235,52 @@ def test_validate_transition_metrics_and_video_eval(tmp_path):
     with open(tmp_path / "score.csv") as f:
         rows = list(_csv.reader(f))
     assert len(rows[-1]) == 6  # epoch, tr_loss, val_loss, top1, top5, mAP
+
+
+def test_steps_per_dispatch_matches_single_steps():
+    """Trainer(steps_per_dispatch=4): the K-step scanned program reproduces
+    K individual train_step calls exactly (rng folds by state.step inside
+    the body), including the sub-K epoch remainder and meters."""
+    import jax
+    import numpy as np
+
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.models import LSTMHead
+
+    batches = synthetic_feature_batches(
+        num_batches=6, batch_size=4, temporal=6, feat_dim=16,
+        num_classes=9, seed=2,
+    )
+    model = LSTMHead(hidden=9, dropout_rate=0.3)  # dropout ON: rng parity
+    common = dict(loss_kind="noblank", lr=1e-2, seed=0,
+                  implementation="xla")
+    tr_multi = Trainer(model, steps_per_dispatch=4, **common)
+    tr_single = Trainer(model, **common)
+    s_m = tr_multi.init_state(batches[0])
+    s_s = tr_single.init_state(batches[0])
+    # 6 batches = one full K=4 group + a remainder of 2 single steps
+    s_m, metrics_m = tr_multi.train_epoch(s_m, batches, epoch=0)
+    s_s, metrics_s = tr_single.train_epoch(s_s, batches, epoch=0)
+    np.testing.assert_allclose(
+        metrics_m["loss"], metrics_s["loss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        metrics_m["top1"], metrics_s["top1"], rtol=1e-5, atol=1e-6
+    )
+    assert int(s_m.step) == int(s_s.step) == 6
+    for a, b in zip(jax.tree_util.tree_leaves(s_s.params),
+                    jax.tree_util.tree_leaves(s_m.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_steps_per_dispatch_rejects_mesh():
+    import pytest
+
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        Trainer(LSTMHead(hidden=8), mesh=make_mesh(data=8),
+                steps_per_dispatch=2)
