@@ -89,8 +89,9 @@ class Config:
 
     # K optimizer steps per dispatched XLA program (lax.scan over stacked
     # batches) — amortizes per-dispatch latency on remote/tunneled
-    # backends; exact K-single-step semantics. Incompatible with
-    # --data-parallel (batch placement assumes unstacked batches).
+    # backends; exact K-single-step semantics. Composes with the mesh
+    # flags: stacked batches are placed P(None, 'data') and GSPMD
+    # partitions the scanned body.
     steps_per_dispatch: int = 1
 
     # training-health guards + crash recovery (SURVEY.md §5.1-§5.3; the

@@ -488,14 +488,11 @@ class Trainer:
         if self.steps_per_dispatch > 1:
             # K optimizer steps per dispatched program (lax.scan over
             # stacked batches) — amortizes per-dispatch latency; exact
-            # K-single-step semantics.  Batch placement for mesh-sharded
-            # stacks is not wired, so data meshes keep K=1.
-            if mesh is not None:
-                raise ValueError(
-                    "steps_per_dispatch > 1 does not combine with a data "
-                    "mesh yet — the per-batch shard placement assumes an "
-                    "unstacked batch"
-                )
+            # K-single-step semantics.  With a mesh, the stacked batch is
+            # placed P(None, 'data') and GSPMD partitions the scanned
+            # body (auto grad all-reduce, global-batch BN) — same
+            # mechanism as the composed single-step path; the sub-K
+            # remainder falls back to self.train_step.
             self.multi_step = make_multi_train_step(
                 model, loss_kind, implementation, ce_weight,
                 loss_fn=seq_loss_fn,
@@ -579,6 +576,16 @@ class Trainer:
                     key: np.stack([np.asarray(b[key]) for b in group])
                     for key in group[0]
                 }
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sharding = NamedSharding(
+                        self.mesh, PartitionSpec(None, "data")
+                    )
+                    stacked = {
+                        key: jax.device_put(jnp.asarray(v), sharding)
+                        for key, v in stacked.items()
+                    }
                 state, mk = self.multi_step(state, stacked, dropout_rng)
                 metrics_list = [
                     {kk: v[j] for kk, v in mk.items()} for j in range(k)

@@ -275,12 +275,38 @@ def test_steps_per_dispatch_matches_single_steps():
         )
 
 
-def test_steps_per_dispatch_rejects_mesh():
-    import pytest
+def test_steps_per_dispatch_composes_with_mesh():
+    """steps_per_dispatch=2 on a data mesh (and on a composed data×model
+    mesh): the K-step GSPMD program reproduces the plain single-device
+    epoch exactly."""
+    import jax
+    import numpy as np
 
+    from ctc_tpu.data import synthetic_feature_batches
     from ctc_tpu.models import LSTMHead
     from ctc_tpu.parallel.mesh import make_mesh
 
-    with pytest.raises(ValueError, match="steps_per_dispatch"):
-        Trainer(LSTMHead(hidden=8), mesh=make_mesh(data=8),
-                steps_per_dispatch=2)
+    for kwargs, mesh, binary in (
+        ({}, make_mesh(data=8), False),
+        ({"model_parallel": 4}, make_mesh(data=2, model=4), True),
+    ):
+        loss_kind = "binary" if binary else "noblank"
+        batches = synthetic_feature_batches(
+            num_batches=5, batch_size=8, temporal=6, feat_dim=16,
+            num_classes=12, seed=6, binary=binary,
+        )
+        model = LSTMHead(hidden=12, dropout_rate=0.0)
+        common = dict(loss_kind=loss_kind, lr=1e-2, seed=0,
+                      implementation="xla")
+        tr_mesh = Trainer(model, mesh=mesh, steps_per_dispatch=2,
+                          **common, **kwargs)
+        tr_plain = Trainer(model, **common)
+        s_m = tr_mesh.init_state(batches[0])
+        s_p = tr_plain.init_state(batches[0])
+        # 5 batches = two K=2 groups + 1 remainder single (sharded) step
+        s_m, metrics_m = tr_mesh.train_epoch(s_m, batches, epoch=0)
+        s_p, metrics_p = tr_plain.train_epoch(s_p, batches, epoch=0)
+        np.testing.assert_allclose(
+            metrics_m["loss"], metrics_p["loss"], rtol=1e-5, atol=1e-6
+        )
+        assert int(jax.device_get(s_m.step)) == 5
