@@ -12,8 +12,6 @@ cross-replica averaged (the reference's per-GPU BN stats silently diverge).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

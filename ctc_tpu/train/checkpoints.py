@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import Any
-
 import jax
 import orbax.checkpoint as ocp
 

@@ -20,7 +20,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ctc_tpu.ops import dispatch
 from ctc_tpu.ops.emissions import binary_ce_emissions
 from ctc_tpu.ops.lattice_pallas import noblank_lattice_nll_pallas
 

@@ -20,7 +20,6 @@ Forward only (the backward is already at its HBM floor, docs/ROOFLINE.md).
 TPU-claiming python: run alone.
 """
 
-import functools
 import time
 
 import numpy as np
