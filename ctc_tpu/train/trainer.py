@@ -205,7 +205,34 @@ def make_multi_train_step(model, loss_kind: str = "noblank",
 
 def make_eval_step(model, loss_kind: str = "noblank", implementation=None,
                    transition_metrics: bool = False, loss_fn=None):
-    """Build the jitted eval step.
+    """Build the jitted eval step (see :func:`_make_eval_body`)."""
+    return jax.jit(_make_eval_body(model, loss_kind, implementation,
+                                   transition_metrics, loss_fn))
+
+
+def make_multi_eval_step(model, loss_kind: str = "noblank",
+                         implementation=None,
+                         transition_metrics: bool = False, loss_fn=None):
+    """K eval steps as one jitted program (``lax.scan`` over stacked
+    batches; metrics come back as ``[K]`` vectors) — the eval twin of
+    :func:`make_multi_train_step`."""
+    body = _make_eval_body(model, loss_kind, implementation,
+                           transition_metrics, loss_fn)
+
+    @jax.jit
+    def multi_eval(state: TrainState, batches):
+        def scan_body(_, batch):
+            return None, body(state, batch)
+
+        _, metrics = jax.lax.scan(scan_body, None, batches)
+        return metrics
+
+    return multi_eval
+
+
+def _make_eval_body(model, loss_kind: str = "noblank", implementation=None,
+                    transition_metrics: bool = False, loss_fn=None):
+    """Build the unjitted eval-step body.
 
     ``transition_metrics=True`` additionally reports the DTW transition
     metric family the reference's validate intended to compute
@@ -218,7 +245,6 @@ def make_eval_step(model, loss_kind: str = "noblank", implementation=None,
     loss_fn_core = loss_fn if loss_fn is not None else _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
 
-    @jax.jit
     def eval_step(state: TrainState, batch):
         feats = _model_input(batch["feats"])
         logits = model.apply(
@@ -497,6 +523,10 @@ class Trainer:
                 model, loss_kind, implementation, ce_weight,
                 loss_fn=seq_loss_fn,
             )
+            self.multi_eval_step = make_multi_eval_step(
+                model, loss_kind, implementation, transition_metrics,
+                loss_fn=seq_loss_fn,
+            )
         self.cache_dir = cache_dir
         self.print_freq = print_freq
         self.print_test_freq = print_test_freq
@@ -624,19 +654,49 @@ class Trainer:
     def validate(self, state: TrainState, loader, epoch: int):
         meters: dict[str, AverageMeter] = {}
         log = self._csv_writer("test_log.csv")
-        for i, batch in enumerate(self._part(loader, self.val_size)):
-            n = batch["feats"].shape[0]
-            metrics = self.eval_step(state, self._place(batch))
-            for k, v in metrics.items():
-                meters.setdefault(k, AverageMeter()).update(float(v), n)
-            if log and i % self.print_test_freq == 0:
-                log[1].writerow(
-                    [epoch, i, meters["loss"].val, meters["top1"].val,
-                     meters["top5"].val]
-                )
+        k = self.steps_per_dispatch
+        it = iter(self._part(loader, self.val_size))
+        i = 0
+        while True:
+            group = list(itertools.islice(it, k))
+            if not group:
+                break
+            if k > 1 and len(group) == k:
+                stacked = {
+                    key: np.stack([np.asarray(b[key]) for b in group])
+                    for key in group[0]
+                }
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sharding = NamedSharding(
+                        self.mesh, PartitionSpec(None, "data")
+                    )
+                    stacked = {
+                        key: jax.device_put(jnp.asarray(v), sharding)
+                        for key, v in stacked.items()
+                    }
+                mk = self.multi_eval_step(state, stacked)
+                metrics_list = [
+                    {kk: v[j] for kk, v in mk.items()} for j in range(k)
+                ]
+            else:
+                metrics_list = [
+                    self.eval_step(state, self._place(b)) for b in group
+                ]
+            for batch, metrics in zip(group, metrics_list):
+                n = batch["feats"].shape[0]
+                for k_, v in metrics.items():
+                    meters.setdefault(k_, AverageMeter()).update(float(v), n)
+                if log and i % self.print_test_freq == 0:
+                    log[1].writerow(
+                        [epoch, i, meters["loss"].val, meters["top1"].val,
+                         meters["top5"].val]
+                    )
+                i += 1
         if log:
             log[0].close()
-        return {k: m.avg for k, m in meters.items()}
+        return {k_: m.avg for k_, m in meters.items()}
 
     def fit(
         self,

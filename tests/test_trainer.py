@@ -264,6 +264,12 @@ def test_steps_per_dispatch_matches_single_steps():
     np.testing.assert_allclose(
         metrics_m["loss"], metrics_s["loss"], rtol=1e-5, atol=1e-6
     )
+    # the eval twin: scanned K-batch validate == per-batch validate
+    val_m = tr_multi.validate(s_m, batches, epoch=0)
+    val_s = tr_single.validate(s_s, batches, epoch=0)
+    np.testing.assert_allclose(
+        val_m["loss"], val_s["loss"], rtol=1e-5, atol=1e-6
+    )
     np.testing.assert_allclose(
         metrics_m["top1"], metrics_s["top1"], rtol=1e-5, atol=1e-6
     )
