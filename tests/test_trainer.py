@@ -316,3 +316,68 @@ def test_steps_per_dispatch_composes_with_mesh():
             metrics_m["loss"], metrics_p["loss"], rtol=1e-5, atol=1e-6
         )
         assert int(jax.device_get(s_m.step)) == 5
+
+
+def test_ce_weight_mixes_final_step_cross_entropy():
+    """--alpha / ce_weight: the train-step loss equals
+    ctc + alpha * CE(logits[-1], future_target) computed by hand
+    (the reference's CE-vs-CTC mixing scale, opts.py:74), in the plain
+    step and through the composed data-mesh step."""
+    import jax
+    import numpy as np
+
+    from ctc_tpu import losses as L
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.parallel.mesh import make_mesh
+    from ctc_tpu.train import trainer as tr
+
+    batches = synthetic_feature_batches(
+        num_batches=1, batch_size=8, temporal=6, feat_dim=16,
+        num_classes=9, seed=11,
+    )
+    b = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    model = LSTMHead(hidden=9, dropout_rate=0.0)
+    feats = jnp.transpose(b["feats"], (1, 0, 2))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feats, train=True,
+    )
+    state = tr.TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tr.torch_style_adam(1e-3),
+    )
+    alpha = 0.5
+    step = tr.make_train_step(model, "noblank", implementation="xla",
+                              ce_weight=alpha)
+    _, metrics = step(state, b, jax.random.PRNGKey(0))
+
+    logits, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        feats, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), 0)},
+    )
+    want = L.no_blank_ctc_loss(
+        logits, b["paths"], b["input_lengths"], b["target_lengths"],
+        implementation="xla",
+    ) + alpha * L.cross_entropy(logits[-1], b["future_target"])
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(want), rtol=1e-5, atol=1e-6
+    )
+
+    # the CLI spelling: --alpha != 1.0 becomes ce_weight, and the mesh
+    # trainer reproduces the plain trainer's mixed loss (same seed)
+    common = dict(loss_kind="noblank", implementation="xla",
+                  ce_weight=alpha, seed=0)
+    tr_mesh = Trainer(model, mesh=make_mesh(data=8), **common)
+    tr_plain = Trainer(model, **common)
+    s_mesh = tr_mesh.init_state(batches[0])
+    s_plain = tr_plain.init_state(batches[0])
+    _, m_mesh = tr_mesh.train_step(
+        s_mesh, tr_mesh._place(batches[0]), jax.random.PRNGKey(0)
+    )
+    _, m_plain = tr_plain.train_step(s_plain, b, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m_mesh["loss"]), float(m_plain["loss"]), rtol=1e-4, atol=1e-5
+    )
