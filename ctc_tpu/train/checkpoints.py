@@ -33,7 +33,15 @@ def save(directory: str, state, epoch: int, *, score: float = 0.0,
         "epoch": epoch,
         "score": score,
     }
-    mgr.save(epoch, args=ocp.args.StandardSave(payload))
+    # Re-running training into an existing cache dir (fresh run, no
+    # --resume) re-saves an epoch the previous run already wrote: without
+    # force orbax silently skips steps older than its latest and the
+    # best-copy below finds nothing, and an existing same-numbered step
+    # raises StepAlreadyExistsError — delete it first (the reference just
+    # overwrites model.pth.tar, checkpoints.py:65)
+    if epoch in mgr.all_steps():
+        mgr.delete(epoch)
+    mgr.save(epoch, args=ocp.args.StandardSave(payload), force=True)
     mgr.wait_until_finished()
     # human-readable per-epoch score file + best copy, like the reference
     # (checkpoints.py:66-76)
@@ -44,9 +52,10 @@ def save(directory: str, state, epoch: int, *, score: float = 0.0,
         if is_best:
             src = os.path.join(directory, "ckpt", str(epoch))
             dst = os.path.join(directory, "ckpt_best")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            shutil.copytree(src, dst)
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                shutil.copytree(src, dst)
 
 
 def load(directory: str, state, *, epoch: int | None = None):

@@ -110,3 +110,32 @@ def test_checkpoint_roundtrip_under_mesh(tmp_path):
             restored, tr._place(batches[0]), jax.random.PRNGKey(1)
         )
         assert np.isfinite(float(m["loss"]))
+
+
+def test_retrain_into_existing_cache_dir(tmp_path):
+    """A fresh run (no --resume) into a cache dir holding an older run's
+    checkpoints must not crash or skip saves (orbax needs force=True when
+    the new run's epoch is older than the manager's latest step)."""
+    import jax
+
+    from ctc_tpu.data import synthetic_feature_batches
+    from ctc_tpu.models import LSTMHead
+    from ctc_tpu.train import Trainer
+    from ctc_tpu.train import checkpoints as ckpt
+
+    batches = synthetic_feature_batches(
+        num_batches=2, batch_size=4, temporal=4, feat_dim=8, num_classes=6,
+        seed=0,
+    )
+    tr = Trainer(LSTMHead(hidden=6, dropout_rate=0.0), loss_kind="noblank",
+                 implementation="xla", cache_dir=str(tmp_path))
+    state = tr.init_state(batches[0])
+    tr.fit(batches, batches, epochs=3, state=state)  # saves epochs 0-2
+    # second fresh run, same dir: epoch 0 save must land (and win 'best')
+    state2 = tr.init_state(batches[0])
+    tr.fit(batches, batches, epochs=1, state=state2)
+    restored, epoch, _ = ckpt.load(str(tmp_path), tr.init_state(batches[0]))
+    assert epoch == 2  # latest step on disk is still the first run's last
+    # but epoch 0 was re-written by the second run (no silent skip)
+    _, e0, _ = ckpt.load(str(tmp_path), tr.init_state(batches[0]), epoch=0)
+    assert e0 == 0
