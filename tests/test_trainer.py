@@ -316,6 +316,14 @@ def test_steps_per_dispatch_composes_with_mesh():
             metrics_m["loss"], metrics_p["loss"], rtol=1e-5, atol=1e-6
         )
         assert int(jax.device_get(s_m.step)) == 5
+        # validate through the mesh + K path too — on the SAME state
+        # (independently trained states drift on zero-grad leaves under
+        # Adam, moving eval loss ~1e-3)
+        val_m = tr_mesh.validate(s_m, batches, epoch=0)
+        val_p = tr_plain.validate(s_m, batches, epoch=0)
+        np.testing.assert_allclose(
+            val_m["loss"], val_p["loss"], rtol=1e-5, atol=1e-6
+        )
 
 
 def test_ce_weight_mixes_final_step_cross_entropy():
@@ -381,3 +389,27 @@ def test_ce_weight_mixes_final_step_cross_entropy():
     np.testing.assert_allclose(
         float(m_mesh["loss"]), float(m_plain["loss"]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_steps_per_dispatch_with_seq_parallel():
+    """K>1 with the single-axis seq-sharded loss: the scanned shard_map
+    pipeline reproduces per-batch training."""
+    import numpy as np
+
+    from ctc_tpu.data import synthetic_feature_batches
+
+    batches = synthetic_feature_batches(
+        num_batches=4, batch_size=8, temporal=8, feat_dim=16,
+        num_classes=9, seed=8,
+    )
+    model = LSTMHead(hidden=9, dropout_rate=0.0)
+    common = dict(loss_kind="noblank", lr=1e-2, seed=0,
+                  implementation="xla", seq_parallel=4)
+    tr_k = Trainer(model, steps_per_dispatch=2, **common)
+    tr_1 = Trainer(model, **common)
+    s_k = tr_k.init_state(batches[0])
+    s_1 = tr_1.init_state(batches[0])
+    s_k, m_k = tr_k.train_epoch(s_k, batches, epoch=0)
+    s_1, m_1 = tr_1.train_epoch(s_1, batches, epoch=0)
+    np.testing.assert_allclose(m_k["loss"], m_1["loss"], rtol=1e-5,
+                               atol=1e-6)
