@@ -555,6 +555,30 @@ class Trainer:
 
         return shard_batch(batch, self.mesh)
 
+
+    def _place_stacked(self, stacked):
+        """Place a ``[K, B, ...]`` stacked batch dict: axis 1 over 'data'.
+
+        Multi-host: each host passes its local stack and the global array
+        is assembled per-process (mirrors :func:`parallel.steps.shard_batch`).
+        """
+        if self.mesh is None:
+            return stacked
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)
+                )
+                for k, v in stacked.items()
+            }
+        return {
+            k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in stacked.items()
+        }
+
     def init_state(self, example_batch) -> TrainState:
         feats = _model_input(jnp.asarray(example_batch["feats"]))
         params_rng, dropout_rng, self.rng = jax.random.split(self.rng, 3)
@@ -602,20 +626,10 @@ class Trainer:
             if not group:
                 break
             if k > 1 and len(group) == k:
-                stacked = {
+                stacked = self._place_stacked({
                     key: np.stack([np.asarray(b[key]) for b in group])
                     for key in group[0]
-                }
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    sharding = NamedSharding(
-                        self.mesh, PartitionSpec(None, "data")
-                    )
-                    stacked = {
-                        key: jax.device_put(jnp.asarray(v), sharding)
-                        for key, v in stacked.items()
-                    }
+                })
                 state, mk = self.multi_step(state, stacked, dropout_rng)
                 metrics_list = [
                     {kk: v[j] for kk, v in mk.items()} for j in range(k)
@@ -662,20 +676,10 @@ class Trainer:
             if not group:
                 break
             if k > 1 and len(group) == k:
-                stacked = {
+                stacked = self._place_stacked({
                     key: np.stack([np.asarray(b[key]) for b in group])
                     for key in group[0]
-                }
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    sharding = NamedSharding(
-                        self.mesh, PartitionSpec(None, "data")
-                    )
-                    stacked = {
-                        key: jax.device_put(jnp.asarray(v), sharding)
-                        for key, v in stacked.items()
-                    }
+                })
                 mk = self.multi_eval_step(state, stacked)
                 metrics_list = [
                     {kk: v[j] for kk, v in mk.items()} for j in range(k)

@@ -32,6 +32,10 @@ _WORKER = textwrap.dedent(
         "--num-hosts", "2", "--host-id", proc_id,
         "--coordinator", "localhost:" + port,
         "--print-train-freq", "100", "--print-test-freq", "100",
+        # exercise the K-steps-per-dispatch path cross-host too (exact
+        # K-single-step semantics: the single-process reference run below
+        # uses K=1 and must still match)
+        "--steps-per-dispatch", "2",
     ])
     print("HIST", json.dumps(
         [[h["train"]["loss"], h["val"]["loss"], h["val"]["top1"]]
