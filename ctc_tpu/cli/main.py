@@ -105,6 +105,8 @@ def main(argv=None):
             hidden=cfg.head_classes, dropout_rate=cfg.dropout,
             freeze_backbone=not cfg.finetune_i3d,
             i3d_dtype=dtype,
+            i3d_act_dtype=(jnp.bfloat16 if cfg.i3d_act_dtype == "bf16"
+                           else None),
             feat_chunk=cfg.i3d_chunk,
         )
     else:

@@ -112,6 +112,10 @@ class Config:
     # end-to-end pixels mode (I3DLSTM; *_pixels datasets): unfreeze the I3D
     # and step it with SGD like the reference's second optimizer
     finetune_i3d: bool = False
+    # pixels-mode backbone inter-layer activation dtype: 'bf16' halves
+    # conv activation HBM traffic (measured -2.7% step time, docs/PIXELS.md;
+    # ~4% relative feature deviation vs f32)
+    i3d_act_dtype: str = "f32"  # f32 | bf16
     # frozen-backbone memory bound: extract I3D features in sequential
     # chunks of this many folded clips (0 = one-shot); lets B=32+ pixel
     # batches fit one v5e (one-shot OOMs past ~B=16 at 224^2 x stack 10)

@@ -187,3 +187,22 @@ def test_cli_i3d_chunk_flag_plumbed():
         freeze_backbone=not cfg.finetune_i3d, feat_chunk=cfg.i3d_chunk,
     )
     assert model.feat_chunk == 40
+
+
+def test_cli_i3d_act_dtype_plumbed():
+    """--i3d-act-dtype bf16 reaches I3DLSTM.i3d_act_dtype."""
+    import jax.numpy as jnp
+
+    from ctc_tpu import config as config_lib
+    from ctc_tpu.models.i3d_lstm import I3DLSTM
+
+    cfg = config_lib.parse([
+        "--dataset", "charades_pixels", "--i3d-act-dtype", "bf16",
+        "--cache-dir", "/tmp/actdtype", "--name", "t",
+    ])
+    model = I3DLSTM(
+        hidden=cfg.head_classes,
+        i3d_act_dtype=(jnp.bfloat16 if cfg.i3d_act_dtype == "bf16"
+                       else None),
+    )
+    assert model.i3d_act_dtype == jnp.bfloat16
