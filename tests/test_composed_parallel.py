@@ -228,3 +228,24 @@ def test_cli_composed_rejects_bad_temporal(tmp_path):
         main(_argv(tmp_path, "badt",
                    ["--temporal", "6", "--data-parallel", "2",
                     "--seq-parallel", "4"]))
+
+
+def test_cli_evaluate_and_decode_under_meshes(tmp_path):
+    """--evaluate (and --decode) run through mesh configurations: the
+    composed data×model evaluate reproduces the single-device metrics, and
+    decode under a data mesh emits the same CSV as without one."""
+    import csv
+
+    single = main(_argv(tmp_path, "ev-s", ["--loss", "binary",
+                                           "--evaluate", "--decode"]))
+    composed = main(_argv(
+        tmp_path, "ev-c",
+        ["--loss", "binary", "--data-parallel", "2", "--model-parallel",
+         "4", "--evaluate", "--decode"],
+    ))
+    np.testing.assert_allclose(
+        single["loss"], composed["loss"], rtol=1e-4, atol=1e-5
+    )
+    rows_s = list(csv.reader(open(single["decoded_csv"])))
+    rows_c = list(csv.reader(open(composed["decoded_csv"])))
+    assert rows_s == rows_c
