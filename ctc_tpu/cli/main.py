@@ -57,6 +57,17 @@ def main(argv=None):
             f"--seq-parallel {cfg.seq_parallel} (the lattice T axis is "
             "split into equal shards)"
         )
+    # decode-beam compatibility fails HERE, before any compile/eval work
+    # (a misconfigured run used to pay the full evaluation pass first)
+    if cfg.decode_beam and cfg.loss != "blank":
+        raise SystemExit(
+            "--decode-beam needs a blank symbol: use --loss blank"
+        )
+    if cfg.decode_beam and cfg.seq_parallel > 1:
+        raise SystemExit(
+            "--decode-beam does not compose with --seq-parallel "
+            "(greedy decode does)"
+        )
     mesh = None
     if cfg.data_parallel is not None or cfg.distributed:
         from ctc_tpu.parallel.mesh import make_mesh
@@ -190,15 +201,6 @@ def main(argv=None):
                         np.asarray(jax.devices()[: cfg.seq_parallel]),
                         ("seq",),
                     )
-            if cfg.decode_beam and cfg.loss != "blank":
-                raise SystemExit(
-                    "--decode-beam needs a blank symbol: use --loss blank"
-                )
-            if cfg.decode_beam and seq_mesh is not None:
-                raise SystemExit(
-                    "--decode-beam does not compose with --seq-parallel "
-                    "(greedy decode does)"
-                )
             out_csv = os.path.join(cfg.cache, "decoded_predictions.csv")
             dec = decode_windows(
                 model, state, val_batches,

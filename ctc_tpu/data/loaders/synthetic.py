@@ -53,7 +53,10 @@ def get(cfg):
     common = dict(
         batch_size=cfg.batch_size * pc,
         temporal=temporal,
-        max_path=(max(temporal // 2, 2) if cfg.loss == "blank" else None),
+        # max(.., 1), not 2: at temporal 2-3 a 2-label path would break the
+        # L <= T/2 invariant again (a drawn label equal to the blank id 0
+        # needs its preceding blank slot — 3 frames > T)
+        max_path=(max(temporal // 2, 1) if cfg.loss == "blank" else None),
         feat_dim=cfg.extract_feat_dim,
         num_classes=num_classes,
         binary=(cfg.loss in ("binary", "bce", "mlce")),

@@ -59,30 +59,11 @@ def replicate(tree, mesh):
     )
 
 
-def make_sharded_train_step(
-    model, mesh, loss_kind: str = "noblank", implementation=None,
-    ce_weight: float = 0.0, interpret: bool = False,
-    frozen_subtrees: tuple = (),
-):
-    """Jitted train step with per-shard forward/backward and explicit
-    ``lax.pmean`` gradient + metric exchange over the ``data`` axis.
-
-    Use with a :class:`ctc_tpu.train.trainer.TrainState` whose params are
-    replicated (:func:`replicate`) and batches placed by :func:`shard_batch`.
-
-    ``implementation``/``interpret`` select the lattice kernel exactly like
-    the unsharded step (Pallas on TPU by default; ``interpret=True`` runs
-    the Pallas kernel in interpret mode for CPU-mesh parity tests) and
-    ``ce_weight`` adds the reference's ``--alpha``-scaled final-step
-    cross-entropy term, so the sharded step covers every configuration the
-    single-device step does.
-
-    ``frozen_subtrees``: top-level param keys whose gradients are
-    structurally zero (stop_gradient'ed, e.g. the frozen I3D backbone) —
-    they are EXCLUDED from the gradient pmean, cutting the pixels-mode
-    exchange from 49.3 MB to 0.17 MB per step (docs/DISTRIBUTED.md's ICI
-    table); zeros are unchanged by pmean, so the result is identical.
-    """
+def _make_local_step(model, loss_kind, implementation, ce_weight, interpret,
+                     frozen_subtrees):
+    """The per-shard (inside-shard_map) step body shared by the single-step
+    and the K-steps-per-dispatch sharded programs: local forward/backward,
+    pmean'd gradients/metrics/BN stats."""
     loss_fn_core = _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
     if interpret:
@@ -146,6 +127,36 @@ def make_sharded_train_step(
         top5 = jax.lax.pmean(top5, DATA_AXIS)
         return grads, loss, new_stats, top1, top5
 
+    return local_step
+
+
+def make_sharded_train_step(
+    model, mesh, loss_kind: str = "noblank", implementation=None,
+    ce_weight: float = 0.0, interpret: bool = False,
+    frozen_subtrees: tuple = (),
+):
+    """Jitted train step with per-shard forward/backward and explicit
+    ``lax.pmean`` gradient + metric exchange over the ``data`` axis.
+
+    Use with a :class:`ctc_tpu.train.trainer.TrainState` whose params are
+    replicated (:func:`replicate`) and batches placed by :func:`shard_batch`.
+
+    ``implementation``/``interpret`` select the lattice kernel exactly like
+    the unsharded step (Pallas on TPU by default; ``interpret=True`` runs
+    the Pallas kernel in interpret mode for CPU-mesh parity tests) and
+    ``ce_weight`` adds the reference's ``--alpha``-scaled final-step
+    cross-entropy term, so the sharded step covers every configuration the
+    single-device step does.
+
+    ``frozen_subtrees``: top-level param keys whose gradients are
+    structurally zero (stop_gradient'ed, e.g. the frozen I3D backbone) —
+    they are EXCLUDED from the gradient pmean, cutting the pixels-mode
+    exchange from 49.3 MB to 0.17 MB per step (docs/DISTRIBUTED.md's ICI
+    table); zeros are unchanged by pmean, so the result is identical.
+    """
+    local_step = _make_local_step(model, loss_kind, implementation, ce_weight,
+                                  interpret, frozen_subtrees)
+
     sharded = shard_map(
         local_step,
         mesh=mesh,
@@ -164,3 +175,46 @@ def make_sharded_train_step(
         return state, {"loss": loss, "top1": top1, "top5": top5}
 
     return train_step
+
+
+def make_sharded_multi_train_step(
+    model, mesh, loss_kind: str = "noblank", implementation=None,
+    ce_weight: float = 0.0, interpret: bool = False,
+    frozen_subtrees: tuple = (),
+):
+    """K optimizer steps per dispatch on a data mesh: ``lax.scan`` over the
+    stacked batches *inside* the shard_map body.
+
+    This makes the K-group program exactly K applications of
+    :func:`make_sharded_train_step`'s step — same per-shard BN stats
+    (pmean'd each substep), same dropout streams (rng folds by
+    ``state.step`` then the shard index inside the body), and the lattice
+    Pallas kernel always sits under shard_map with replicated-per-shard
+    operands instead of under GSPMD-sharded ones (the plain-jit multi-step
+    relied on GSPMD to partition the pallas_call, which has no sharding
+    rule).  Takes a batch dict stacked ``[K, B, ...]`` placed
+    ``P(None, 'data')``; returns ``(state, metrics)`` with ``[K]`` metric
+    vectors.
+    """
+    local_step = _make_local_step(model, loss_kind, implementation, ce_weight,
+                                  interpret, frozen_subtrees)
+
+    def local_multi(state, batches, dropout_rng):
+        def body(s, batch):
+            rng = jax.random.fold_in(dropout_rng, s.step)
+            grads, loss, new_stats, top1, top5 = local_step(
+                s.params, s.batch_stats, batch, rng
+            )
+            s = s.apply_gradients(grads).replace(batch_stats=new_stats)
+            return s, {"loss": loss, "top1": top1, "top5": top5}
+
+        return jax.lax.scan(body, state, batches)
+
+    sharded = shard_map(
+        local_multi,
+        mesh=mesh,
+        in_specs=(P(), P(None, DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

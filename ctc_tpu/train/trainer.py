@@ -514,15 +514,29 @@ class Trainer:
         if self.steps_per_dispatch > 1:
             # K optimizer steps per dispatched program (lax.scan over
             # stacked batches) — amortizes per-dispatch latency; exact
-            # K-single-step semantics.  With a mesh, the stacked batch is
-            # placed P(None, 'data') and GSPMD partitions the scanned
-            # body (auto grad all-reduce, global-batch BN) — same
-            # mechanism as the composed single-step path; the sub-K
-            # remainder falls back to self.train_step.
-            self.multi_step = make_multi_train_step(
-                model, loss_kind, implementation, ce_weight,
-                loss_fn=seq_loss_fn,
-            )
+            # K-single-step semantics.  On a plain data mesh the scan runs
+            # INSIDE the shard_map body (make_sharded_multi_train_step),
+            # so each substep is bit-identical to the shard_map single
+            # step (same pmean'd BN stats, same dropout streams, Pallas
+            # kernel under shard_map rather than GSPMD).  On a composed
+            # mesh the loss carries its own shard_map and the stacked
+            # batch is placed P(None, 'data') with GSPMD partitioning the
+            # scanned body.  The sub-K remainder falls back to
+            # self.train_step.
+            if mesh is not None and not composed:
+                from ctc_tpu.parallel.steps import (
+                    make_sharded_multi_train_step,
+                )
+
+                self.multi_step = make_sharded_multi_train_step(
+                    model, mesh, loss_kind, implementation,
+                    ce_weight=ce_weight, frozen_subtrees=frozen,
+                )
+            else:
+                self.multi_step = make_multi_train_step(
+                    model, loss_kind, implementation, ce_weight,
+                    loss_fn=seq_loss_fn,
+                )
             self.multi_eval_step = make_multi_eval_step(
                 model, loss_kind, implementation, transition_metrics,
                 loss_fn=seq_loss_fn,
@@ -537,6 +551,19 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
+
+    @staticmethod
+    def _uniform_shapes(group) -> bool:
+        """True when every batch in a K-group has identical leaf shapes —
+        ``np.stack`` would raise mid-epoch otherwise (e.g. a custom loader
+        whose smaller final batch lands inside a full-size group); non-
+        uniform groups fall back to single steps like the short remainder."""
+        first = {k: np.asarray(v).shape for k, v in group[0].items()}
+        return all(
+            np.asarray(b[k]).shape == s
+            for b in group[1:]
+            for k, s in first.items()
+        )
 
     @staticmethod
     def _part(loader, size: float):
@@ -625,7 +652,7 @@ class Trainer:
             group = list(itertools.islice(it, k))
             if not group:
                 break
-            if k > 1 and len(group) == k:
+            if k > 1 and len(group) == k and self._uniform_shapes(group):
                 stacked = self._place_stacked({
                     key: np.stack([np.asarray(b[key]) for b in group])
                     for key in group[0]
@@ -675,7 +702,7 @@ class Trainer:
             group = list(itertools.islice(it, k))
             if not group:
                 break
-            if k > 1 and len(group) == k:
+            if k > 1 and len(group) == k and self._uniform_shapes(group):
                 stacked = self._place_stacked({
                     key: np.stack([np.asarray(b[key]) for b in group])
                     for key in group[0]
