@@ -68,6 +68,11 @@ def main(argv=None):
             "--decode-beam does not compose with --seq-parallel "
             "(greedy decode does)"
         )
+    if cfg.decode_align and cfg.loss not in ("noblank", "binary"):
+        raise SystemExit(
+            "--decode-align force-aligns the blank-free lattice: "
+            "use --loss noblank or binary"
+        )
     mesh = None
     if cfg.data_parallel is not None or cfg.distributed:
         from ctc_tpu.parallel.mesh import make_mesh
@@ -211,6 +216,19 @@ def main(argv=None):
             print(f"decoded transition paths: {len(dec['lengths'])} windows "
                   f"-> {out_csv}")
             metrics["decoded_csv"] = out_csv
+        if cfg.decode_align:
+            # forced alignment of the TARGET paths (Viterbi over the
+            # trained lattice — SURVEY.md §2.4 decode row)
+            from ctc_tpu.eval.video import align_windows
+
+            align_csv = os.path.join(cfg.cache, "decoded_alignment.csv")
+            ali = align_windows(
+                trainer.model, state, val_batches, loss_kind=cfg.loss,
+                out_csv=align_csv,
+            )
+            print(f"aligned target paths: {len(ali['score'])} windows "
+                  f"-> {align_csv}")
+            metrics["alignment_csv"] = align_csv
         # video-level mAP when the dataset provides a val_video split
         try:
             loader_mod = importlib.import_module(

@@ -54,6 +54,10 @@ class Config:
     # > 0: decode with prefix beam search of this width instead of greedy
     # (blank loss only — the beam tracks blank/non-blank prefix mass)
     decode_beam: int = 0
+    # --evaluate companion: Viterbi time-alignment of each val window's
+    # TARGET path (forced alignment over the trained blank-free lattice) to
+    # decoded_alignment.csv — noblank/binary losses only
+    decode_align: bool = False
     inputsize: int = 224
     extract_feat_dim: int = 1024
     manual_seed: int = 0

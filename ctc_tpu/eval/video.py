@@ -207,6 +207,87 @@ def decode_windows(model, state, batches, *, blank: int = -1,
     }
 
 
+def align_windows(model, state, batches, *, loss_kind: str = "noblank",
+                  out_csv: str | None = None):
+    """Viterbi time-alignment of every window's TARGET path — the
+    forced-alignment capability the blank-free lattice supports
+    (:func:`ctc_tpu.decode.viterbi.viterbi_align`, max-product counterpart
+    of the trained sum-product DP; the reference has no alignment decoder).
+
+    For each window the model's logits are turned into the same per-cell
+    emissions the loss trains on (softmax gather for ``'noblank'``, BCE for
+    ``'binary'`` — /root/reference/NoBlankCTC.py:96-102 /
+    NoBlankBinaryCTC.py:108-116 semantics) and the best monotonic
+    stay/advance alignment of frames to path positions is decoded.
+
+    Args:
+      batches: iterable of batch dicts (``feats``, ``paths``,
+        ``input_lengths``, ``target_lengths``).
+      loss_kind: ``'noblank'`` (int paths) or ``'binary'`` (multi-hot
+        paths) — the blank lattice has a different topology and is not
+        supported here.
+      out_csv: optional path — one row per window:
+        ``batch, index, input_length, score, alignment`` (space-joined
+        path position per frame).
+
+    Returns ``{"alignment": [N, T] int32, "score": [N]}``.
+    """
+    import csv
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctc_tpu.decode.viterbi import viterbi_align
+    from ctc_tpu.ops.emissions import (
+        binary_ce_emissions,
+        gather_log_softmax_emissions,
+    )
+
+    if loss_kind not in ("noblank", "binary"):
+        raise ValueError(
+            f"alignment decodes the blank-free lattice; got {loss_kind!r}"
+        )
+    build = (gather_log_softmax_emissions if loss_kind == "noblank"
+             else binary_ce_emissions)
+
+    @jax.jit
+    def aligned(feats, paths, input_lengths, target_lengths):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.transpose(feats, (1, 0, 2)),
+            train=False,
+        )  # [T, B, C]
+        em = build(logits, paths)  # [T, B, L]
+        return viterbi_align(em, input_lengths, target_lengths)
+
+    all_align, all_scores, rows = [], [], []
+    for bi, batch in enumerate(batches):
+        alignment, score = aligned(
+            jnp.asarray(batch["feats"]), jnp.asarray(batch["paths"]),
+            jnp.asarray(batch["input_lengths"]),
+            jnp.asarray(batch["target_lengths"]),
+        )
+        alignment = np.asarray(alignment).T  # [B, T]
+        score = np.asarray(score)
+        lengths = np.asarray(batch["input_lengths"])
+        all_align.append(alignment)
+        all_scores.append(score)
+        for i in range(alignment.shape[0]):
+            ali = " ".join(str(int(p)) for p in alignment[i, : lengths[i]])
+            rows.append([bi, i, int(lengths[i]), float(score[i]), ali])
+    if out_csv:
+        with open(out_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(
+                ["batch", "index", "input_length", "score", "alignment"]
+            )
+            writer.writerows(rows)
+    return {
+        "alignment": np.concatenate(all_align, axis=0),
+        "score": np.concatenate(all_scores, axis=0),
+    }
+
+
 def evaluate_own_video(model, state, data, *, out_csv: str | None = None,
                        topk: int = 5, batch_size: int = 10):
     """Qualitative own-video evaluation — the reference's my-dataset path

@@ -284,3 +284,52 @@ def test_cli_decode_beam_flag(tmp_path):
             "--print-train-freq", "100", "--print-test-freq", "100",
             "--evaluate", "--decode", "--decode-beam", "4",
         ])
+
+
+def test_cli_decode_align_flag(tmp_path):
+    """--evaluate --decode-align: the CSV rows equal a direct viterbi_align
+    over the same emissions (forced alignment of the TARGET paths)."""
+    import csv
+
+    from ctc_tpu.cli.main import main
+    from ctc_tpu.data.loaders import synthetic as synth_loader
+    from ctc_tpu.config import parse
+
+    argv = [
+        "--dataset", "synthetic", "--epochs", "1", "--batch-size", "4",
+        "--temporal", "8", "--extract-feat-dim", "16", "--dropout", "0.0",
+        "--v-class", "9", "--loss", "noblank",
+        "--cache-dir", str(tmp_path), "--name", "align",
+        "--print-train-freq", "100", "--print-test-freq", "100",
+        "--evaluate", "--decode-align",
+    ]
+    metrics = main(argv)
+    rows = list(csv.reader(open(metrics["alignment_csv"])))
+    assert rows[0] == ["batch", "index", "input_length", "score", "alignment"]
+    assert len(rows) - 1 == 8  # 2 val batches x 4 windows
+
+    # alignments are valid monotonic stay/advance paths ending at L-1
+    cfg = parse(argv)
+    _, val = synth_loader.get(cfg)
+    flat = [
+        (np.asarray(b["input_lengths"])[i], np.asarray(b["target_lengths"])[i])
+        for b in val for i in range(4)
+    ]
+    for row, (in_len, tgt_len) in zip(rows[1:], flat):
+        ali = np.array([int(x) for x in row[4].split()])
+        assert len(ali) == int(row[2]) == in_len
+        assert ali[0] == 0 and ali[-1] == tgt_len - 1
+        steps = np.diff(ali)
+        assert np.all((steps == 0) | (steps == 1))
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="blank-free"):
+        main([
+            "--dataset", "synthetic", "--epochs", "1", "--batch-size", "4",
+            "--temporal", "8", "--extract-feat-dim", "16",
+            "--c-class", "9", "--loss", "blank",
+            "--cache-dir", str(tmp_path), "--name", "align-bad",
+            "--print-train-freq", "100", "--print-test-freq", "100",
+            "--evaluate", "--decode-align",
+        ])
