@@ -212,6 +212,8 @@ def main(argv=None):
                 blank=(0 if cfg.loss == "blank" else -1),
                 out_csv=out_csv, seq_mesh=seq_mesh,
                 beam_width=cfg.decode_beam,
+                # joint (o, v) head: decode the verb transition path
+                head_slice=(cfg.v_class if cfg.loss == "joint" else None),
             )
             print(f"decoded transition paths: {len(dec['lengths'])} windows "
                   f"-> {out_csv}")
@@ -256,7 +258,29 @@ def main(argv=None):
                     print(f"WARNING: --groundtruth-lookup "
                           f"{cfg.groundtruth_lookup} not found; using the "
                           f"rebuilt gt table")
-                if len(data["ids"]):
+                if len(data["ids"]) and cfg.loss == "joint":
+                    # joint (o, v) head: verb mAP + object mAP + the
+                    # relation-tagging metrics (recall@N / precision@N)
+                    from ctc_tpu.eval.video import evaluate_videos_joint
+
+                    out = evaluate_videos_joint(
+                        model, state, data, gt_table,
+                        num_verbs=cfg.v_class, num_objects=cfg.o_class,
+                    )
+                    rec = " ".join(f"R@{n}={v:.4f}"
+                                   for n, v in out["recall_at"].items())
+                    prec = " ".join(f"P@{n}={v:.4f}"
+                                    for n, v in out["prec_at"].items())
+                    print(f"video mAP: {out['mAP']:.4f} "
+                          f"(object mAP {out['object_mAP']:.4f})")
+                    print(f"relation tagging: mAP {out['relation_mAP']:.4f} "
+                          f"{rec} {prec}")
+                    metrics["video_mAP"] = out["mAP"]
+                    metrics["object_mAP"] = out["object_mAP"]
+                    metrics["relation_mAP"] = out["relation_mAP"]
+                    metrics["relation_recall_at"] = out["recall_at"]
+                    metrics["relation_prec_at"] = out["prec_at"]
+                elif len(data["ids"]):
                     out = evaluate_videos(
                         model, state, data, gt_table,
                         num_verbs=cfg.head_classes,
@@ -297,7 +321,18 @@ def main(argv=None):
                 from ctc_tpu.eval.video import evaluate_videos
 
                 vv_data, vv_gt = get_vv(cfg)
-                if len(vv_data["ids"]):
+                if len(vv_data["ids"]) and cfg.loss == "joint":
+                    from ctc_tpu.eval.video import evaluate_videos_joint
+
+                    def video_eval(state, _d=vv_data, _g=vv_gt):
+                        out = evaluate_videos_joint(
+                            model, state, _d, _g,
+                            num_verbs=cfg.v_class, num_objects=cfg.o_class,
+                        )
+                        print(f"video mAP: {out['mAP']:.4f} relation mAP: "
+                              f"{out['relation_mAP']:.4f}")
+                        return out
+                elif len(vv_data["ids"]):
                     def video_eval(state, _d=vv_data, _g=vv_gt):
                         out = evaluate_videos(
                             model, state, _d, _g,

@@ -153,13 +153,15 @@ class Config:
     @property
     def head_classes(self) -> int:
         """Model head width for the selected loss target space: verb-index
-        lattices (33), multi-hot object paths/targets (38), or combined
-        157-class blank CTC (reference class-count flags, opts.py:59-62)."""
+        lattices (33), multi-hot object paths/targets (38), combined
+        157-class blank CTC, or the joint (verb + object) two-head width
+        (reference class-count flags, opts.py:59-62)."""
         return {
             "binary": self.o_class,
             "bce": self.o_class,
             "mlce": self.o_class,
             "blank": self.c_class,
+            "joint": self.v_class + self.o_class,
         }.get(self.loss, self.v_class)
 
     @property

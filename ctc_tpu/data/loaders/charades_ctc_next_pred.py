@@ -18,7 +18,12 @@ import jax
 
 from ctc_tpu.data import charades
 from ctc_tpu.data.features import I3DFeatureExtractor, extract_split_features
-from ctc_tpu.data.loading import collate_verb_ctc, collate_binary_ctc, host_shard_indices
+from ctc_tpu.data.loading import (
+    collate_verb_ctc,
+    collate_binary_ctc,
+    collate_joint_ctc,
+    host_shard_indices,
+)
 from ctc_tpu.models.i3d import InceptionI3d, convert_torch_state_dict
 
 
@@ -80,7 +85,10 @@ def _split_batches(cfg, split, csv_file, collate):
 
 
 def get(cfg):
-    collate = collate_binary_ctc if cfg.loss == "binary" else collate_verb_ctc
+    collate = {
+        "binary": collate_binary_ctc,
+        "joint": collate_joint_ctc,
+    }.get(cfg.loss, collate_verb_ctc)
     train = _split_batches(cfg, "train", cfg.train_file, collate)
     val = _split_batches(cfg, "val", cfg.val_file, collate)
     return train, val

@@ -61,11 +61,19 @@ def get(cfg):
         num_classes=num_classes,
         binary=(cfg.loss in ("binary", "bce", "mlce")),
     )
+    if cfg.loss == "joint":
+        # verb-lattice batches packed with the fixed verb->object map
+        common.update(num_classes=cfg.v_class, binary=False)
     train = synthetic_feature_batches(num_batches=8, seed=cfg.manual_seed, **common)
     val = synthetic_feature_batches(num_batches=2, seed=cfg.manual_seed + 1, **common)
     if cfg.loss in ("ce", "bce", "mlce"):
         train = _final_step_batches(train, cfg.loss)
         val = _final_step_batches(val, cfg.loss)
+    elif cfg.loss == "joint":
+        from ctc_tpu.data.synthetic import pack_joint_batches
+
+        train = pack_joint_batches(train, cfg.o_class)
+        val = pack_joint_batches(val, cfg.o_class)
     if pc > 1:
         lo = jax.process_index() * cfg.batch_size
         hi = lo + cfg.batch_size
@@ -75,3 +83,18 @@ def get(cfg):
 
         train, val = local(train), local(val)
     return train, val
+
+
+def get_val_video(cfg):
+    """Synthetic val_video split + gt_table (the charades loaders'
+    ``get_val_video`` contract) so ``--evaluate``'s video mAP and — under
+    ``--loss joint`` — the (o, v) relation eval run without Charades data."""
+    from ctc_tpu.data.synthetic import synthetic_val_video
+
+    return synthetic_val_video(
+        temporal=max(cfg.temporal, 2),
+        feat_dim=cfg.extract_feat_dim,
+        v_class=cfg.v_class,
+        o_class=cfg.o_class,
+        seed=cfg.manual_seed,
+    )

@@ -68,6 +68,40 @@ def collate_binary_ctc(data: dict, indices, features: np.ndarray) -> dict:
     }
 
 
+def collate_joint_ctc(data: dict, indices, features: np.ndarray) -> dict:
+    """Joint (o, v) two-head batch: the verb class-index path and the
+    multi-hot object path PACKED into one ``paths [B, L, 1 + o_class]``
+    array (column 0 = verb path, columns 1: = object multi-hot) with
+    ``target_lengths [B, 2] = (v_time, o_time)`` — the batch convention of
+    :func:`ctc_tpu.losses.joint.joint_ov_ctc_loss`.  Mirrors the
+    reference loader's simultaneous o_target/v_target yield
+    (/root/reference/train.py:366-399)."""
+    idx = list(indices)
+    v_paths = np.stack(
+        [np.asarray(data["v_targets"][i]) for i in idx]
+    ).astype(np.float32)  # [B, L]
+    o_paths = np.stack(
+        [np.asarray(data["o_targets"][i], np.float32) for i in idx]
+    )
+    o_paths = np.where(o_paths < 0, 0.0, o_paths)  # [B, L, o_class]
+    temporal = v_paths.shape[1]
+    return {
+        "feats": np.asarray(features, np.float32),
+        "paths": np.concatenate([v_paths[:, :, None], o_paths], axis=2),
+        "input_lengths": np.full((len(idx),), temporal, np.int64),
+        "target_lengths": np.stack(
+            [
+                np.asarray([data["v_times"][i] for i in idx], np.int64),
+                np.asarray([data["o_times"][i] for i in idx], np.int64),
+            ],
+            axis=1,
+        ),
+        "future_target": np.asarray(
+            [data["v_f_targets"][i] for i in idx], np.int32
+        ),
+    }
+
+
 def host_shard_indices(
     n: int, batch_size: int, *, process_index: int = 0, process_count: int = 1,
     shuffle: bool = True, seed: int = 0, drop_last: bool = True,

@@ -109,9 +109,49 @@ def evaluate_videos(model, state, data, gt_table, *, batch_size: int = 10,
             "per_class_ap": per_class}
 
 
+def evaluate_videos_joint(model, state, data, gt_table, *, num_verbs: int,
+                          num_objects: int, batch_size: int = 10):
+    """Video-level eval for the joint (o, v) two-head model: verb mAP,
+    object mAP, AND the relation-tagging metrics — the live consumer of
+    :func:`video_relation_eval` (the reference's relation eval,
+    /root/reference/utils/__init__.py:61-113, was dead code).
+
+    The joint head's final-step scores ``[N, num_verbs + num_objects]``
+    are split per head, aggregated per video, and composed into (o, v)
+    pair predictions scored against the gt triplets.
+
+    Returns ``{"mAP", "object_mAP", "relation_mAP",
+    "recall_at": {50, 100}, "prec_at": {1, 5, 10}, ...}``.
+    """
+    scores = score_windows(
+        model, state, np.asarray(data["features"]), batch_size
+    )
+    assert scores.shape[1] == num_verbs + num_objects, (
+        scores.shape, num_verbs, num_objects
+    )
+    v_scores = aggregate_video_scores(data["ids"], scores[:, :num_verbs])
+    o_scores = aggregate_video_scores(data["ids"], scores[:, num_verbs:])
+    v_map, _, v_per_class = video_verb_map(
+        v_scores, gt_table, num_verbs, gt_col=2
+    )
+    o_map, _, _ = video_verb_map(o_scores, gt_table, num_objects, gt_col=1)
+    rel_map, rec_at, prec_at = video_relation_eval(
+        o_scores, v_scores, gt_table
+    )
+    return {
+        "mAP": float(v_map),
+        "object_mAP": float(o_map),
+        "relation_mAP": float(rel_map),
+        "recall_at": rec_at,
+        "prec_at": prec_at,
+        "video_scores": v_scores,
+        "per_class_ap": v_per_class,
+    }
+
+
 def decode_windows(model, state, batches, *, blank: int = -1,
                    out_csv: str | None = None, seq_mesh=None,
-                   beam_width: int = 0):
+                   beam_width: int = 0, head_slice: int | None = None):
     """Greedy-decode the label-transition path of every window.
 
     The product surface for :mod:`ctc_tpu.decode` (the reference never
@@ -133,6 +173,8 @@ def decode_windows(model, state, batches, *, blank: int = -1,
         (:func:`ctc_tpu.decode.beam_search_decode`, best beam kept) —
         blank-CTC only (the beam tracks blank/non-blank prefix mass), and
         exclusive with ``seq_mesh``.
+      head_slice: decode only the first this-many classes (the verb slice
+        of a joint (o, v) head).
 
     Returns ``{"decoded": [N, T] -1-padded, "lengths": [N]}``.
     """
@@ -163,11 +205,12 @@ def decode_windows(model, state, batches, *, blank: int = -1,
 
     @jax.jit
     def forward(x):
-        return model.apply(
+        logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             jnp.transpose(x, (1, 0, 2)),
             train=False,
         )  # [T, B, C]
+        return logits[..., :head_slice] if head_slice else logits
 
     all_decoded, all_lengths, rows = [], [], []
     for bi, batch in enumerate(batches):

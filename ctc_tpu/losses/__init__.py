@@ -16,6 +16,7 @@ from ctc_tpu.losses.noblank import (
     no_blank_binary_ctc_loss,
 )
 from ctc_tpu.losses.blank import ctc_loss
+from ctc_tpu.losses.joint import joint_ov_ctc_loss
 from ctc_tpu.losses.classification import (
     multilabel_cross_entropy,
     cross_entropy,
@@ -42,6 +43,7 @@ LOSS_FNS = {
     "noblank": no_blank_ctc_loss,
     "binary": no_blank_binary_ctc_loss,
     "blank": ctc_loss,
+    "joint": joint_ov_ctc_loss,
     "ce": _final_step(cross_entropy),
     "bce": _final_step(bce_with_logits),
     "mlce": _final_step(multilabel_cross_entropy),
@@ -51,6 +53,7 @@ __all__ = [
     "no_blank_ctc_loss",
     "no_blank_binary_ctc_loss",
     "ctc_loss",
+    "joint_ov_ctc_loss",
     "multilabel_cross_entropy",
     "cross_entropy",
     "bce_with_logits",

@@ -99,8 +99,11 @@ def _make_local_step(model, loss_kind, implementation, ce_weight, interpret,
                 **kwargs,
             )
             if ce_weight:
+                from ctc_tpu.train.trainer import _head_logits
+
                 loss = loss + ce_weight * losses.cross_entropy(
-                    logits[-1], batch["future_target"]
+                    _head_logits(logits[-1], batch, loss_kind),
+                    batch["future_target"],
                 )
             return loss, (mutated["batch_stats"], logits)
 
@@ -120,8 +123,11 @@ def _make_local_step(model, loss_kind, implementation, ce_weight, interpret,
             grads = jax.lax.pmean(grads, DATA_AXIS)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+        from ctc_tpu.train.trainer import _head_logits
+
         (top1, top5), _ = topk_accuracy(
-            logits[-1], batch["future_target"], topk=(1, 5)
+            _head_logits(logits[-1], batch, loss_kind),
+            batch["future_target"], topk=(1, 5)
         )
         top1 = jax.lax.pmean(top1, DATA_AXIS)
         top5 = jax.lax.pmean(top5, DATA_AXIS)

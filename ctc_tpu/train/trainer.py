@@ -108,6 +108,16 @@ def _model_input(x):
 _LOSS_FNS = losses.LOSS_FNS
 
 
+def _head_logits(logits_last, batch, loss_kind):
+    """Final-step logits in the metric/CE class space — the verb slice for
+    the joint (o, v) head (future_target is the future VERB, reference
+    train.py:427-434), the whole head otherwise."""
+    if loss_kind == "joint":
+        o_class = batch["paths"].shape[-1] - 1
+        return logits_last[..., : logits_last.shape[-1] - o_class]
+    return logits_last
+
+
 def make_train_step(model, loss_kind: str = "noblank", implementation=None,
                     ce_weight: float = 0.0, loss_fn=None):
     """Build the jitted train step.
@@ -156,7 +166,8 @@ def _make_step_body(model, loss_kind, implementation, ce_weight, loss_fn):
             )
             if ce_weight:
                 loss = loss + ce_weight * losses.cross_entropy(
-                    logits[-1], batch["future_target"]
+                    _head_logits(logits[-1], batch, loss_kind),
+                    batch["future_target"],
                 )
             return loss, (mutated["batch_stats"], logits)
 
@@ -165,7 +176,8 @@ def _make_step_body(model, loss_kind, implementation, ce_weight, loss_fn):
         )(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         (top1, top5), _ = topk_accuracy(
-            logits[-1], batch["future_target"], topk=(1, 5)
+            _head_logits(logits[-1], batch, loss_kind),
+            batch["future_target"], topk=(1, 5)
         )
         metrics = {"loss": loss, "top1": top1, "top5": top5}
         return state, metrics
@@ -262,23 +274,40 @@ def _make_eval_body(model, loss_kind: str = "noblank", implementation=None,
         extra = {}
         if transition_metrics:
             paths = batch["paths"]
-            if paths.ndim == 2:  # int class-index paths -> multi-hot
+            out = logits
+            tgt_len = batch["target_lengths"]
+            if loss_kind == "joint":
+                # verb-head DTW metrics: verb logits slice vs the one-hot
+                # of the packed verb path column
+                from ctc_tpu.losses.joint import (
+                    split_joint_logits,
+                    unpack_joint_paths,
+                )
+
+                out, _ = split_joint_logits(logits, paths)
+                v_paths, _ = unpack_joint_paths(paths)
+                paths = jax.nn.one_hot(
+                    jnp.mod(v_paths, out.shape[2]), out.shape[2]
+                )
+                tgt_len = tgt_len[:, 0]
+            elif paths.ndim == 2:  # int class-index paths -> multi-hot
                 paths = jax.nn.one_hot(
                     jnp.mod(paths, logits.shape[2]), logits.shape[2]
                 )
-            out_bt = jnp.transpose(logits, (1, 0, 2))  # [B, T, C]
+            out_bt = jnp.transpose(out, (1, 0, 2))  # [B, T, C]
             (t1, t5), _ = jax.vmap(
                 lambda o, p, n: transition_accuracy(o, p, n)
-            )(out_bt, paths, batch["target_lengths"])
+            )(out_bt, paths, tgt_len)
             (r1, r5), _ = jax.vmap(
                 lambda o, p, n: transition_recall(o, p, n)
-            )(out_bt, paths, batch["target_lengths"])
+            )(out_bt, paths, tgt_len)
             extra = {
                 "trans_top1": jnp.mean(t1), "trans_top5": jnp.mean(t5),
                 "recall_top1": jnp.mean(r1), "recall_top5": jnp.mean(r5),
             }
         (top1, top5), _ = topk_accuracy(
-            logits[-1], batch["future_target"], topk=(1, 5)
+            _head_logits(logits[-1], batch, loss_kind),
+            batch["future_target"], topk=(1, 5)
         )
         return {"loss": loss, "top1": top1, "top5": top5, **extra}
 
