@@ -239,6 +239,106 @@ def _backward_kernel(
     carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:])
 
 
+def _forward_kernel_boundary(em_ref, outside_ref, stay0_ref, adv0_ref,
+                             alpha_out_ref, carry_ref, *, label_axis):
+    """Boundary-aware forward: the in-kernel lab0 init is replaced by TWO
+    init rows (docs/ROOFLINE.md "future work" design, now built):
+
+    * ``stay0`` — alpha(-1) for the stay branch of the first local step;
+    * ``adv0``  — alpha(-1) for the advance (roll) branch.
+
+    For the pipeline's shard 0 they differ (``stay0`` = standard init,
+    ``adv0`` = all-sentinel, encoding "no advance at t=0" without a scalar
+    t-offset); between shards both equal the incoming boundary alpha row.
+    The outgoing boundary is a slice of the alpha output — single-output
+    kernel (multi-output pallas_call hangs the remote Mosaic compiler).
+    """
+    chunk = em_ref.shape[0]
+    slab = alpha_out_ref.shape[1:]
+    l_pad = slab[label_axis]
+    outside = outside_ref[:] > 0.5
+    lab0 = _label_index(slab, label_axis) == 0
+    pid_t = pl.program_id(1)
+    adv0 = adv0_ref[:]
+
+    @pl.when(pid_t == 0)
+    def _init():
+        carry_ref[:] = stay0_ref[:]
+
+    def body(i, alpha):
+        t = pid_t * chunk + i
+        src = jnp.where(t == 0, adv0, alpha)
+        shifted = pltpu.roll(src, shift=1, axis=label_axis)
+        shifted = jnp.where(lab0, NEG_SENTINEL, shifted)
+        lse = jnp.logaddexp(alpha, shifted)
+        lse = jnp.where(outside, NEG_SENTINEL, lse)
+        alpha = lse + _widen(em_ref[i], l_pad, label_axis)
+        alpha_out_ref[i] = alpha
+        return alpha
+
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:])
+
+
+def _backward_kernel_boundary(
+    alpha_ref, inject_row_ref, inlen_ref, inside_ref, g_seed_ref, g_out_ref,
+    carry_ref, *, label_axis, t_last
+):
+    """Boundary-aware reverse recursion: ``g_seed`` (the cotangent of the
+    outgoing boundary row, handed back by the downstream shard / the
+    pipeline transpose) is injected at the shard's last REAL row
+    ``t_last`` (static — T padding rows above it carry exactly-zero g).
+    ``inlen`` is SHARD-LOCAL (``inlen - t_offset``): non-owning shards
+    never match the final-cell inject."""
+    chunk = alpha_ref.shape[0]
+    slab = alpha_ref.shape[1:]
+    l_out = g_out_ref.shape[1 + label_axis]
+    n_t = pl.num_programs(1)
+    pid_t = pl.program_id(1)
+    t0 = (n_t - 1 - pid_t) * chunk
+    inside = inside_ref[:] > 0.5
+    lab_idx = _label_index(slab, label_axis)
+    lab0 = lab_idx == 0
+    last_lab = lab_idx == (slab[label_axis] - 1)
+    inject_row = inject_row_ref[:]
+    g_seed = g_seed_ref[:]
+    inlen = inlen_ref[:]
+
+    @pl.when(pid_t == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros(slab, carry_ref.dtype)
+
+    def body(i, g_next):
+        ti = chunk - 1 - i
+        t = t0 + ti
+        inject_t = jnp.where(t == inlen - 1, inject_row, 0.0)
+
+        def with_prop():
+            alpha_prev = alpha_ref[ti]
+            adv = pltpu.roll(alpha_prev, shift=1, axis=label_axis)
+            adv = jnp.where(lab0, NEG_SENTINEL, adv)
+            w_stay_raw = jax.nn.sigmoid(alpha_prev - adv)
+            w_stay = w_stay_raw * inside
+            w_adv = (1.0 - w_stay_raw) * inside
+            from_adv = g_next * w_adv
+            from_adv = jnp.where(
+                last_lab,
+                0.0,
+                pltpu.roll(
+                    from_adv, shift=slab[label_axis] - 1, axis=label_axis
+                ),
+            )
+            return g_next * w_stay + from_adv
+
+        # the boundary cotangent lands on the last real row; rows above it
+        # (T padding) propagate zero g, rows below propagate normally
+        prop = jnp.where(t < t_last, with_prop(), 0.0)
+        g_t = inject_t + jnp.where(t == t_last, g_seed, 0.0) + prop
+        g_out_ref[ti] = _narrow(g_t, l_out, label_axis)
+        return g_t
+
+    carry_ref[:] = jax.lax.fori_loop(0, chunk, body, carry_ref[:])
+
+
 def _pad_tb(x, t_pad, b_pad, label_axis, fill):
     """Pad time and batch axes only (label axis stays unpadded)."""
     max_t = x.shape[0]
@@ -321,6 +421,85 @@ def _backward_padded(alpha_p, inject_row_p, inlen_p, inside_p, *, max_l, tile,
         compiler_params=None if interpret else _GRID_SEMANTICS,
         interpret=interpret,
     )(alpha_p, inject_row_p, inlen_p, inside_p)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "chunk", "label_axis", "interpret")
+)
+def _forward_boundary_padded(em_p, outside_p, stay0_p, adv0_p, *, tile, chunk,
+                             label_axis, interpret=False):
+    """Boundary-init forward: like :func:`_forward_padded` plus the two
+    init-row slabs (kernel orientation, compute width)."""
+    t_pad = em_p.shape[0]
+    max_l = em_p.shape[1 + label_axis]
+    l_pad = outside_p.shape[label_axis]
+    b_pad = em_p.shape[2 - label_axis]
+    grid = (b_pad // tile, t_pad // chunk)
+    if label_axis == 0:
+        blk = lambda l_dim: (chunk,) + (l_dim, tile)
+        tbl_map = lambda i, j: (j, 0, i)
+        row_map = lambda i, j: (0, i)
+    else:
+        blk = lambda l_dim: (chunk,) + (tile, l_dim)
+        tbl_map = lambda i, j: (j, i, 0)
+        row_map = lambda i, j: (i, 0)
+    em_spec = pl.BlockSpec(blk(max_l), tbl_map, memory_space=pltpu.VMEM)
+    alpha_spec = pl.BlockSpec(blk(l_pad), tbl_map, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(blk(l_pad)[1:], row_map, memory_space=pltpu.VMEM)
+    out_shape = (
+        (t_pad, l_pad, b_pad) if label_axis == 0 else (t_pad, b_pad, l_pad)
+    )
+    return pl.pallas_call(
+        functools.partial(_forward_kernel_boundary, label_axis=label_axis),
+        out_shape=jax.ShapeDtypeStruct(out_shape, em_p.dtype),
+        grid=grid,
+        in_specs=[em_spec, row_spec, row_spec, row_spec],
+        out_specs=alpha_spec,
+        scratch_shapes=[pltpu.VMEM(blk(l_pad)[1:], em_p.dtype)],
+        compiler_params=None if interpret else _GRID_SEMANTICS,
+        interpret=interpret,
+    )(em_p, outside_p, stay0_p, adv0_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_l", "tile", "chunk", "label_axis", "t_last",
+                     "interpret"),
+)
+def _backward_boundary_padded(alpha_p, inject_row_p, inlen_p, inside_p,
+                              g_seed_p, *, max_l, tile, chunk, label_axis,
+                              t_last, interpret=False):
+    """Boundary backward: like :func:`_backward_padded` plus the boundary
+    cotangent seed row, injected at the static last real row ``t_last``."""
+    t_pad = alpha_p.shape[0]
+    l_pad = alpha_p.shape[1 + label_axis]
+    b_pad = alpha_p.shape[2 - label_axis]
+    n_t = t_pad // chunk
+    grid = (b_pad // tile, n_t)
+    if label_axis == 0:
+        blk = lambda l_dim: (chunk, l_dim, tile)
+        rev_map = lambda i, j: (n_t - 1 - j, 0, i)
+        row_map = lambda i, j: (0, i)
+        g_shape = (t_pad, max_l, b_pad)
+    else:
+        blk = lambda l_dim: (chunk, tile, l_dim)
+        rev_map = lambda i, j: (n_t - 1 - j, i, 0)
+        row_map = lambda i, j: (i, 0)
+        g_shape = (t_pad, b_pad, max_l)
+    alpha_spec = pl.BlockSpec(blk(l_pad), rev_map, memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec(blk(max_l), rev_map, memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(blk(l_pad)[1:], row_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_backward_kernel_boundary, label_axis=label_axis,
+                          t_last=t_last),
+        out_shape=jax.ShapeDtypeStruct(g_shape, alpha_p.dtype),
+        grid=grid,
+        in_specs=[alpha_spec, row_spec, row_spec, row_spec, row_spec],
+        out_specs=g_spec,
+        scratch_shapes=[pltpu.VMEM(blk(l_pad)[1:], alpha_p.dtype)],
+        compiler_params=None if interpret else _GRID_SEMANTICS,
+        interpret=interpret,
+    )(alpha_p, inject_row_p, inlen_p, inside_p, g_seed_p)
 
 
 def _masks(input_lengths, target_lengths, b_pad, l_pad, label_axis):
@@ -457,3 +636,182 @@ def _nll_pallas_bwd(layout, interpret, tiles, residuals, nll_bar):
 
 
 _nll_pallas.defvjp(_nll_pallas_fwd, _nll_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-aware shard op: the kernel inside the sequence-sharded pipeline
+# (ctc_tpu/parallel/seq_lattice.py).  One shard's T-slice of the lattice as
+# a differentiable op: (emissions, stay0, adv0) -> (final, boundary_out).
+# ---------------------------------------------------------------------------
+
+
+def boundary_width(max_l: int, layout: str = "tlb") -> int:
+    """Width of the boundary alpha rows exchanged between shards (the
+    kernel's compute width — label axis padded to its tile unit)."""
+    return _round_up(max_l, _SUBLANE if layout == "tlb" else _LANE)
+
+
+def _orient_row(row_bl, label_axis):
+    """[B, l_pad] row -> kernel slab orientation."""
+    return row_bl.T if label_axis == 0 else row_bl
+
+
+def _run_shard_forward(em, stay0, adv0, inlen_local, target_lengths, layout,
+                       interpret, tiles):
+    label_axis = 0 if layout == "tlb" else 1
+    max_t = em.shape[0]
+    max_l = em.shape[1 + label_axis]
+    batch = em.shape[2 - label_axis]
+    l_pad = boundary_width(max_l, layout)
+    tile, chunk = _tiles_for(max_t, max_l, layout, interpret, tiles, batch)
+    t_pad = _round_up(max_t, chunk)
+    b_pad = _round_up(batch, tile)
+    em_p = _pad_tb(em, t_pad, b_pad, label_axis, 0.0)
+    outside, tgt, _ = _masks(
+        inlen_local, target_lengths, b_pad, l_pad, label_axis
+    )
+    row_pad = ((0, b_pad - batch), (0, l_pad - stay0.shape[1]))
+    stay0_p = _orient_row(
+        jnp.pad(stay0, row_pad, constant_values=NEG_SENTINEL), label_axis
+    )
+    adv0_p = _orient_row(
+        jnp.pad(adv0, row_pad, constant_values=NEG_SENTINEL), label_axis
+    )
+    alpha_p = _forward_boundary_padded(
+        em_p, outside, stay0_p, adv0_p, tile=tile, chunk=chunk,
+        label_axis=label_axis, interpret=interpret,
+    )
+    # per-sample final candidate: alpha[inlen_local-1, b, tgt-1], owned by
+    # this shard only when 1 <= inlen_local <= t_shard
+    inl = jnp.pad(inlen_local, (0, b_pad - batch), constant_values=0)
+    l_idx = jnp.clip(tgt - 1, 0, l_pad - 1)
+    if label_axis == 0:
+        at_l = jnp.take_along_axis(alpha_p, l_idx[None, None, :], axis=1)[
+            :, 0, :
+        ]
+    else:
+        at_l = jnp.take_along_axis(alpha_p, l_idx[None, :, None], axis=2)[
+            ..., 0
+        ]
+    gathered = jnp.take_along_axis(
+        at_l, jnp.clip(inl - 1, 0, max_t - 1)[None, :], axis=0
+    )[0]
+    own = (inl >= 1) & (inl <= max_t)
+    final = jnp.where(own, gathered, 0.0)[:batch]
+    # outgoing boundary = the last REAL alpha row (design: a slice of the
+    # single kernel output, no multi-output pallas_call)
+    brow = alpha_p[max_t - 1]
+    boundary = (brow.T if label_axis == 0 else brow)[:batch]
+    return final, boundary, alpha_p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def noblank_shard_lattice_pallas(em, stay0, adv0, inlen_local, target_lengths,
+                                 layout="tlb", interpret=False, tiles=None):
+    """One sequence-shard of the blank-free lattice as a Pallas-kernel op.
+
+    Args:
+      em: this shard's emissions — ``[t_s, L, B]`` (``layout='tlb'``) or
+        ``[t_s, B, L]`` (``'tbl'``); the label axis may be pre-padded to
+        :func:`boundary_width`.
+      stay0 / adv0: ``[B, W]`` init rows (``W = boundary_width``) — the
+        incoming boundary alpha for both on interior shards; the standard
+        init / all-sentinel pair on shard 0.
+      inlen_local: ``[B]`` SHARD-LOCAL input lengths (``inlen - t_offset``;
+        values outside ``[1, t_s]`` mean this shard does not own the
+        sample's final cell).
+      target_lengths: ``[B]``.
+
+    Returns ``(final [B], boundary_out [B, W])`` — the per-sample final
+    log-prob candidate (0 on non-owning shards) and the outgoing boundary
+    alpha row.  Differentiable in ``em``/``stay0``/``adv0`` via the
+    boundary backward kernel.
+    """
+    final, boundary, _ = _run_shard_forward(
+        em, stay0, adv0, inlen_local, target_lengths, layout, interpret,
+        tiles,
+    )
+    return final, boundary
+
+
+def _shard_fwd(em, stay0, adv0, inlen_local, target_lengths, layout,
+               interpret, tiles):
+    final, boundary, alpha_p = _run_shard_forward(
+        em, stay0, adv0, inlen_local, target_lengths, layout, interpret,
+        tiles,
+    )
+    return (final, boundary), (
+        alpha_p, stay0, adv0, inlen_local, target_lengths, em.shape
+    )
+
+
+def _shard_bwd(layout, interpret, tiles, residuals, cotangents):
+    alpha_p, stay0, adv0, inlen_local, target_lengths, em_shape = residuals
+    d_final, d_boundary = cotangents
+    label_axis = 0 if layout == "tlb" else 1
+    max_t = em_shape[0]
+    max_l = em_shape[1 + label_axis]
+    batch = em_shape[2 - label_axis]
+    l_pad = alpha_p.shape[1 + label_axis]
+    b_pad = alpha_p.shape[2 - label_axis]
+    outside, tgt, _ = _masks(
+        inlen_local, target_lengths, b_pad, l_pad, label_axis
+    )
+    inside = 1.0 - outside
+    inl = jnp.pad(inlen_local, (0, b_pad - batch), constant_values=0)
+    bar = jnp.pad(d_final, (0, b_pad - batch))
+    pos = jnp.arange(l_pad)
+    if label_axis == 0:
+        inject_row = jnp.where(
+            pos[:, None] == (tgt - 1)[None, :], bar[None, :], 0.0
+        ).astype(alpha_p.dtype)
+        inlen_b = jnp.broadcast_to(inl[None, :], (l_pad, b_pad)).astype(
+            jnp.float32
+        )
+    else:
+        inject_row = jnp.where(
+            pos[None, :] == (tgt - 1)[:, None], bar[:, None], 0.0
+        ).astype(alpha_p.dtype)
+        inlen_b = jnp.broadcast_to(inl[:, None], (b_pad, l_pad)).astype(
+            jnp.float32
+        )
+    g_seed = _orient_row(
+        jnp.pad(d_boundary, ((0, b_pad - batch), (0, 0))), label_axis
+    ).astype(alpha_p.dtype)
+    tile, chunk = _tiles_for(max_t, max_l, layout, interpret, tiles, batch)
+    g_p = _backward_boundary_padded(
+        alpha_p, inject_row, inlen_b, inside, g_seed, max_l=max_l, tile=tile,
+        chunk=chunk, label_axis=label_axis, t_last=max_t - 1,
+        interpret=interpret,
+    )
+    g = g_p[:max_t]
+    g = g[:, :, :batch] if label_axis == 0 else g[:, :batch]
+    # d(stay0)/d(adv0): one elementwise step off the kernel's g[0] row —
+    # the first local step is alpha_0 = where(outside, SENT,
+    # logaddexp(stay0, lab0-masked roll(adv0))) + em_0, so the init rows'
+    # cotangents are the same sigmoid branch weights as everywhere else.
+    g0_slab = g_p[0]  # label width max_l (the g output is unpadded)
+    g0 = (g0_slab.T if label_axis == 0 else g0_slab)  # [b_pad, max_l]
+    g0 = jnp.pad(g0, ((0, 0), (0, l_pad - max_l)))  # zero-g padded labels
+    row_pad = ((0, b_pad - batch), (0, l_pad - stay0.shape[1]))
+    stay0_p = jnp.pad(stay0, row_pad, constant_values=NEG_SENTINEL)
+    adv0_p = jnp.pad(adv0, row_pad, constant_values=NEG_SENTINEL)
+    shifted = jnp.concatenate(
+        [
+            jnp.full((b_pad, 1), NEG_SENTINEL, adv0_p.dtype),
+            adv0_p[:, :-1],
+        ],
+        axis=1,
+    )
+    inside_b = inside if label_axis == 1 else inside.T  # [b_pad, l_pad]
+    w_stay_raw = jax.nn.sigmoid(stay0_p - shifted)
+    d_stay0 = g0 * w_stay_raw * inside_b
+    d_shift = g0 * (1.0 - w_stay_raw) * inside_b
+    d_adv0 = jnp.concatenate(
+        [d_shift[:, 1:], jnp.zeros((b_pad, 1), d_shift.dtype)], axis=1
+    )
+    w = stay0.shape[1]
+    return (g, d_stay0[:batch, :w], d_adv0[:batch, :w], None, None)
+
+
+noblank_shard_lattice_pallas.defvjp(_shard_fwd, _shard_bwd)

@@ -42,45 +42,44 @@ except AttributeError:  # pragma: no cover
 SEQ_AXIS = "seq"
 
 
-def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
-                  num_microbatches=None):
+def _run_pipeline(em, run_shard, init_boundary, n, k, seq_axis,
+                  num_microbatches=None, b_axis: int = 1):
     """The shard-local carry-passing pipeline over m microbatches.
 
-    ``em [t_shard, B, W]`` are this shard's emissions; ``make_mb_step(m_idx)``
-    builds the per-timestep scan body (one of the shared lattice steps,
-    closed over microbatch-m slices of the length/mask operands) taking
-    global timesteps; ``init_alpha [B/m, W]`` is the virtual alpha(-1) row
-    entering shard 0.  Returns the psum-combined per-sample ``final [B]``.
+    ``em`` are this shard's emissions with the batch on axis ``b_axis``
+    (``[t_s, B, L]`` for the XLA scan path, ``[t_s, L, B]`` for the Pallas
+    kernel path); ``run_shard(b0, em_mb, boundary) -> (boundary_out,
+    final_mb)`` runs one microbatch's T-slice (an XLA ``lax.scan`` of the
+    shared lattice step, or the boundary-init Pallas kernel op);
+    ``init_boundary [B/m, W]`` is the boundary-row carry shape/dtype seed.
+    Returns the psum-combined per-sample ``final [B]``.
 
     ``num_microbatches`` (m, default n) is an independent knob: the
     pipeline runs m + n - 1 ticks for m ticks of useful work per shard, so
     the fill/drain bubble is (n-1)/(m+n-1) — raise m above the shard count
     to amortize it (m=n: ~47% idle at n=8; m=4n: ~16%).
     """
-    t_shard, batch, _ = em.shape
+    t_shard = em.shape[0]
+    batch = em.shape[b_axis]
     m_count = num_microbatches or n
     assert batch % m_count == 0, (
         f"batch {batch} not divisible by num_microbatches {m_count}"
     )
     mb = batch // m_count
-    t_offset = k * t_shard
-    t_global = t_offset + jnp.arange(t_shard)
-    boundary = init_alpha
+    boundary = init_boundary
     finals = jnp.zeros((batch,), em.dtype)
+    mb_shape = list(em.shape)
+    mb_shape[b_axis] = mb
 
     def pipeline_step(s, carry):
         boundary, finals = carry
         m = s - k  # microbatch index at this shard this tick
         active = (m >= 0) & (m < m_count)
         m_idx = jnp.clip(m, 0, m_count - 1)
-        em_mb = jax.lax.dynamic_slice(
-            em, (0, m_idx * mb, 0), (t_shard, mb, em.shape[2])
-        )
-        alpha0 = jnp.where(k == 0, init_alpha, boundary)
-        step = make_mb_step(m_idx * mb)
-        (alpha_out, final_mb), _ = jax.lax.scan(
-            step, (alpha0, jnp.zeros((mb,), em.dtype)), (t_global, em_mb)
-        )
+        start = [0, 0, 0]
+        start[b_axis] = m_idx * mb
+        em_mb = jax.lax.dynamic_slice(em, start, mb_shape)
+        boundary_out, final_mb = run_shard(m_idx * mb, em_mb, boundary)
         finals = jax.lax.dynamic_update_slice(
             finals,
             jax.lax.dynamic_slice(finals, (m_idx * mb,), (mb,))
@@ -90,7 +89,7 @@ def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
         # hand the boundary alpha to the next shard (ring; shard n-1's
         # send wraps to 0 where it is ignored)
         boundary = jax.lax.ppermute(
-            jnp.where(active, alpha_out, boundary),
+            jnp.where(active, boundary_out, boundary),
             seq_axis,
             [(i, (i + 1) % n) for i in range(n)],
         )
@@ -106,7 +105,9 @@ def _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
 def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
                                  seq_axis: str = SEQ_AXIS, blank: int = 0,
                                  num_microbatches: int | None = None,
-                                 batch_axis: str | None = None):
+                                 batch_axis: str | None = None,
+                                 implementation: str | None = None,
+                                 interpret: bool = False):
     """Build a jitted sequence-sharded per-sample NLL ``[B]``.
 
     The per-shard scan reuses the same step functions as the unsharded
@@ -141,9 +142,39 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
     ppermute and final psum ride the ``seq`` axis only, so nothing crosses
     the data axis inside the loss.  The returned per-sample NLL is the
     global ``[B]`` (out_specs concatenate the data shards).
+
+    ``implementation='pallas'``: the per-shard, per-microbatch T-slices run
+    the boundary-init Pallas kernel pair
+    (:func:`ctc_tpu.ops.lattice_pallas.noblank_shard_lattice_pallas` —
+    docs/ROOFLINE.md "future work" design, now built) instead of XLA
+    scans, for the blank-free modes; the blank mode uses its own boundary
+    kernels (:mod:`ctc_tpu.ops.blank_lattice_pallas`).  Default (None) =
+    Pallas on TPU backends like the unsharded losses.
     """
     n = mesh.shape[seq_axis]
     ba = batch_axis
+    if implementation is None:
+        from ctc_tpu.ops.dispatch import _default_implementation
+
+        implementation = _default_implementation()
+    use_pallas = implementation == "pallas"
+
+    def _xla_pipeline(em, make_mb_step, init_alpha, k, mb):
+        """XLA scan per microbatch T-slice (the `'xla'` per-shard path)."""
+        t_shard = em.shape[0]
+        t_global = k * t_shard + jnp.arange(t_shard)
+
+        def run_shard(b0, em_mb, boundary):
+            alpha0 = jnp.where(k == 0, init_alpha, boundary)
+            (alpha_out, final_mb), _ = jax.lax.scan(
+                make_mb_step(b0),
+                (alpha0, jnp.zeros((mb,), em.dtype)),
+                (t_global, em_mb),
+            )
+            return alpha_out, final_mb
+
+        return _run_pipeline(em, run_shard, init_alpha, n, k, seq_axis,
+                             num_microbatches, b_axis=1)
 
     def _noblank_local(em, input_lengths, target_lengths):
         k = jax.lax.axis_index(seq_axis)
@@ -162,19 +193,69 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
         init_alpha = (
             jnp.full((mb, max_l), NEG_SENTINEL, em.dtype).at[:, 0].set(0.0)
         )
-        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
-                              num_microbatches)
+        final = _xla_pipeline(em, make_mb_step, init_alpha, k, mb)
         return -final
 
+    def _noblank_local_pallas(em_tlb, input_lengths, target_lengths):
+        """Kernel-backed pipeline: ``em_tlb [t_s, W, B]`` with the label
+        axis already at the kernel's compute width W (sublane-padded by
+        the tlb emission builders)."""
+        from ctc_tpu.ops.lattice_pallas import noblank_shard_lattice_pallas
+
+        k = jax.lax.axis_index(seq_axis)
+        t_shard, l_pad, batch = em_tlb.shape
+        mb = batch // (num_microbatches or n)
+        t_offset = k * t_shard
+        std_init = (
+            jnp.full((mb, l_pad), NEG_SENTINEL, em_tlb.dtype)
+            .at[:, 0].set(0.0)
+        )
+        sent_row = jnp.full((mb, l_pad), NEG_SENTINEL, em_tlb.dtype)
+
+        def run_shard(b0, em_mb, boundary):
+            # shard 0's first step: standard init + no-advance sentinel;
+            # interior shards: both rows = the incoming boundary alpha
+            stay0 = jnp.where(k == 0, std_init, boundary)
+            adv0 = jnp.where(k == 0, sent_row, boundary)
+            inl = jax.lax.dynamic_slice(
+                input_lengths, (b0,), (mb,)
+            ) - t_offset
+            tgt = jax.lax.dynamic_slice(target_lengths, (b0,), (mb,))
+            final_mb, boundary_out = noblank_shard_lattice_pallas(
+                em_mb, stay0, adv0, inl, tgt, "tlb", interpret, None
+            )
+            return boundary_out, final_mb
+
+        final = _run_pipeline(em_tlb, run_shard, std_init, n, k, seq_axis,
+                              num_microbatches, b_axis=2)
+        return -final
+
+    _em_layout = "tlb" if use_pallas else "tbl"
+    _lattice = _noblank_local_pallas if use_pallas else _noblank_local
+
     def _binary_local(logits, paths, input_lengths, target_lengths):
-        em = binary_ce_emissions(logits, paths)  # shard-local [T/n, B, L]
-        return _noblank_local(em, input_lengths, target_lengths)
+        em = binary_ce_emissions(logits, paths, layout=_em_layout)
+        return _lattice(em, input_lengths, target_lengths)
 
     def _noblank_logits_local(logits, paths, input_lengths, target_lengths):
         from ctc_tpu.ops.emissions import gather_log_softmax_emissions
 
-        em = gather_log_softmax_emissions(logits, paths)  # [T/n, B, L]
-        return _noblank_local(em, input_lengths, target_lengths)
+        em = gather_log_softmax_emissions(logits, paths, layout=_em_layout)
+        return _lattice(em, input_lengths, target_lengths)
+
+    def _noblank_em_local(em, input_lengths, target_lengths):
+        # raw [T/n, B, L] emissions in: the pallas path transposes and
+        # sublane-pads shard-locally (the product modes above emit tlb
+        # directly from their gathers — no transpose there)
+        if use_pallas:
+            from ctc_tpu.ops.lattice_pallas import boundary_width
+
+            l_pad = boundary_width(em.shape[2], "tlb")
+            em = jnp.pad(
+                jnp.transpose(em, (0, 2, 1)),
+                ((0, 0), (0, l_pad - em.shape[2]), (0, 0)),
+            )
+        return _lattice(em, input_lengths, target_lengths)
 
     def _blank_local(logits, targets, input_lengths, target_lengths):
         k = jax.lax.axis_index(seq_axis)
@@ -196,12 +277,51 @@ def make_seq_sharded_lattice_nll(mesh, *, mode: str = "noblank",
             )
 
         init_alpha = blank_alpha_init(mb, s_len, em.dtype)
-        final = _run_pipeline(em, make_mb_step, init_alpha, n, k, seq_axis,
-                              num_microbatches)
+        final = _xla_pipeline(em, make_mb_step, init_alpha, k, mb)
         return -final
 
+    def _blank_local_pallas(logits, targets, input_lengths, target_lengths):
+        from ctc_tpu.ops.blank_lattice_pallas import (
+            blank_shard_lattice_pallas,
+        )
+        from ctc_tpu.ops.logspace import BLANK_NEG
+
+        k = jax.lax.axis_index(seq_axis)
+        # one-hot MXU einsum emission in the kernel's tlb layout,
+        # sublane-padded with inert blank slots (losses/blank.py)
+        em, skip_ok = blank_emissions_and_skip(
+            logits, targets, blank, pad_multiple=8, layout="tlb",
+            normalize=True,
+        )
+        t_shard, s_pad, batch = em.shape
+        mb = batch // (num_microbatches or n)
+        t_offset = k * t_shard
+        virt_init = blank_alpha_init(mb, s_pad, em.dtype)
+        sent_row = jnp.full((mb, s_pad), BLANK_NEG, em.dtype)
+
+        def run_shard(b0, em_mb, boundary):
+            init0 = jnp.where(k == 0, virt_init, boundary)
+            skip0 = jnp.where(k == 0, sent_row, boundary)
+            skip_mb = jax.lax.dynamic_slice(skip_ok, (b0, 0), (mb, s_pad))
+            inl = jax.lax.dynamic_slice(
+                input_lengths, (b0,), (mb,)
+            ) - t_offset
+            tgt = jax.lax.dynamic_slice(target_lengths, (b0,), (mb,))
+            final_mb, boundary_out = blank_shard_lattice_pallas(
+                em_mb, init0, skip0, skip_mb, inl, tgt, "tlb", interpret,
+                None,
+            )
+            return boundary_out, final_mb
+
+        final = _run_pipeline(em, run_shard, virt_init, n, k, seq_axis,
+                              num_microbatches, b_axis=2)
+        return -final
+
+    if use_pallas:
+        _blank_local = _blank_local_pallas  # noqa: F811
+
     if mode == "noblank":
-        local, in_specs = _noblank_local, (P(seq_axis, ba), P(ba), P(ba))
+        local, in_specs = _noblank_em_local, (P(seq_axis, ba), P(ba), P(ba))
     elif mode == "noblank_logits":
         local, in_specs = (
             _noblank_logits_local, (P(seq_axis, ba), P(ba), P(ba), P(ba))
@@ -239,16 +359,27 @@ def make_seq_sharded_loss(mesh, loss_kind: str, *, seq_axis: str = SEQ_AXIS,
     """
     mode = {"noblank": "noblank_logits", "binary": "binary",
             "blank": "blank"}[loss_kind]
-    nll_fn = make_seq_sharded_lattice_nll(
-        mesh, mode=mode, seq_axis=seq_axis,
-        num_microbatches=num_microbatches, blank=blank,
-        batch_axis=batch_axis,
-    )
+    nll_fns: dict = {}
+
+    def _nll_fn(implementation, interpret):
+        key = (implementation, interpret)
+        if key not in nll_fns:
+            nll_fns[key] = make_seq_sharded_lattice_nll(
+                mesh, mode=mode, seq_axis=seq_axis,
+                num_microbatches=num_microbatches, blank=blank,
+                batch_axis=batch_axis, implementation=implementation,
+                interpret=interpret,
+            )
+        return nll_fns[key]
 
     def loss_fn(logits, paths, input_lengths, target_lengths,
                 implementation=None, interpret=False):
-        del implementation, interpret  # per-shard scans are XLA
-        nll = nll_fn(logits, paths, input_lengths, target_lengths)
+        # per-shard T-slices honor the kernel selection exactly like the
+        # unsharded losses: 'pallas' (default on TPU) = the boundary-init
+        # kernel pipeline, 'xla' = lax.scan shards
+        nll = _nll_fn(implementation, interpret)(
+            logits, paths, input_lengths, target_lengths
+        )
         if loss_kind == "blank":
             return jnp.mean(
                 nll / jnp.maximum(target_lengths, 1).astype(nll.dtype)

@@ -224,3 +224,123 @@ def test_trainer_seq_parallel_matches_plain(tmp_path):
         float(tr_plain.eval_step(s_plain, b)["loss"]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("mode", ["noblank", "noblank_logits", "binary"])
+def test_seq_sharded_pallas_pipeline_matches(rng, seq_mesh, mode):
+    """implementation='pallas' (boundary-init kernel shards, interpret mode
+    on CPU): value AND grad parity vs both the XLA-shard pipeline and the
+    unsharded analytic custom_vjp, with per-sample lengths landing on
+    different shards (final-cell ownership) and partial-shard targets."""
+    from ctc_tpu import losses
+
+    T, B, C, L = 32, 8, 9, 12
+    logits = jnp.asarray(rng.standard_normal((T, B, C)).astype(np.float32))
+    em = jnp.asarray((rng.standard_normal((T, B, L)) - 1).astype(np.float32))
+    int_paths = jnp.asarray(rng.integers(0, C, size=(B, L)).astype(np.int32))
+    mh_paths = jnp.asarray((rng.random((B, L, C)) < 0.3).astype(np.float32))
+    # lengths spread over every shard (T/4 = 8 per shard)
+    in_len = jnp.asarray([1, 7, 8, 9, 16, 17, 25, 32])
+    tgt_len = jnp.asarray(
+        np.minimum(rng.integers(1, L + 1, size=B), np.asarray(in_len))
+    )
+
+    fn_k = make_seq_sharded_lattice_nll(
+        seq_mesh, mode=mode, implementation="pallas", interpret=True
+    )
+    fn_x = make_seq_sharded_lattice_nll(
+        seq_mesh, mode=mode, implementation="xla"
+    )
+    if mode == "noblank":
+        args = (in_len, tgt_len)
+        arg = em
+        unsharded = lambda x: jnp.sum(
+            lattice_xla.noblank_lattice_nll(x, in_len, tgt_len)
+        )
+    else:
+        paths = int_paths if mode == "noblank_logits" else mh_paths
+        loss = (losses.no_blank_ctc_loss if mode == "noblank_logits"
+                else losses.no_blank_binary_ctc_loss)
+        args = (paths, in_len, tgt_len)
+        arg = logits
+        unsharded = lambda x: jnp.sum(loss(
+            x, paths, in_len, tgt_len, reduction="none", implementation="xla"
+        ))
+
+    def run(fn):
+        f = lambda x: jnp.sum(fn(shard_time_axis(x, seq_mesh), *args))
+        return jax.value_and_grad(f)(arg)
+
+    v_k, g_k = run(fn_k)
+    v_x, g_x = run(fn_x)
+    v_u, g_u = jax.value_and_grad(unsharded)(arg)
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(v_k), float(v_u), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_k), np.asarray(g_x), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_k), np.asarray(g_u), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_seq_sharded_pallas_microbatch_knob(rng, seq_mesh):
+    """The bubble knob composes with the kernel pipeline."""
+    T, B, L = 32, 16, 12
+    em = jnp.asarray((rng.standard_normal((T, B, L)) - 1).astype(np.float32))
+    in_len = jnp.asarray(rng.integers(1, T + 1, size=B))
+    tgt_len = jnp.asarray(
+        np.minimum(rng.integers(1, L + 1, size=B), np.asarray(in_len))
+    )
+    want, _ = lattice_xla.noblank_lattice_forward(em, in_len, tgt_len)
+    fn = make_seq_sharded_lattice_nll(
+        seq_mesh, num_microbatches=8, implementation="pallas", interpret=True
+    )
+    got = fn(shard_time_axis(em, seq_mesh), in_len, tgt_len)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_seq_sharded_pallas_blank_matches(rng, seq_mesh):
+    """Blank mode under implementation='pallas': the boundary-init blank
+    kernel pipeline (stay/advance/skip, 3-way-softmax boundary cotangents)
+    matches the XLA pipeline and the unsharded blank loss — value + grad,
+    with repeated labels (skip gating), L=0 samples, and finals owned by
+    interior shards."""
+    from ctc_tpu import losses
+
+    T, B, C, L = 32, 8, 10, 7
+    logits = jnp.asarray(rng.standard_normal((T, B, C)).astype(np.float32))
+    targets = np.asarray(rng.integers(1, C, size=(B, L)), np.int32)
+    targets[:, 1::2] = targets[:, ::2][:, : targets[:, 1::2].shape[1]]
+    targets = jnp.asarray(targets)
+    in_len = jnp.asarray([15, 16, 17, 24, 32, 32, 20, 9])
+    tgt_len = jnp.asarray([3, 7, 0, 5, 7, 1, 6, 2])
+
+    fn_k = make_seq_sharded_lattice_nll(
+        seq_mesh, mode="blank", implementation="pallas", interpret=True
+    )
+    fn_x = make_seq_sharded_lattice_nll(
+        seq_mesh, mode="blank", implementation="xla"
+    )
+
+    def run(fn):
+        f = lambda x: jnp.sum(fn(shard_time_axis(x, seq_mesh), targets,
+                                 in_len, tgt_len))
+        return jax.value_and_grad(f)(logits)
+
+    v_k, g_k = run(fn_k)
+    v_x, g_x = run(fn_x)
+    unsharded = lambda x: jnp.sum(losses.ctc_loss(
+        x, targets, in_len, tgt_len, reduction="none", implementation="xla"
+    ))
+    v_u, g_u = jax.value_and_grad(unsharded)(logits)
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(v_k), float(v_u), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_k), np.asarray(g_x), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_k), np.asarray(g_u), rtol=1e-5, atol=1e-5
+    )
