@@ -195,12 +195,16 @@ def ctc_loss(
 
             # [T, S, B] built directly: label slots on sublanes (padded to
             # the sublane multiple with inert blank slots), batch on lanes
-            # — aligned kernel blocks, no transpose copy.  Raw logits go
-            # straight in (normalize subtracts the row-lse after the
-            # einsum) — log-probs are never materialized.
+            # — aligned kernel blocks, no transpose copy.  RAW gathered
+            # emissions go into the kernel; the log-softmax normalization
+            # is applied as a FINAL per-sample correction instead of a
+            # [T, S, B]-wide subtract: every lattice path accumulates
+            # exactly one emission per timestep, so
+            # ``nll = nll_raw + sum_{t<T_b} lse[t, b]`` — exact, and
+            # measured ~3% faster e2e (probe_blank_lsecorr.py, 8/8 reps).
             em_tlb, skip_ok = blank_emissions_and_skip(
                 logits, targets, blank, pad_multiple=8, layout="tlb",
-                normalize=normalize,
+                normalize=False,
             )
             nll = blank_lattice_nll_pallas(
                 em_tlb,
@@ -210,6 +214,12 @@ def ctc_loss(
                 layout="tlb",
                 interpret=interpret,
             )
+            if normalize:
+                lse = jax.nn.logsumexp(logits, axis=2)  # [T, B]
+                tmask = (
+                    jnp.arange(max_t)[:, None] < input_lengths[None, :]
+                )
+                nll = nll + jnp.sum(jnp.where(tmask, lse, 0.0), axis=0)
             return _reduce(nll, target_lengths, reduction)
         except Exception as e:  # pragma: no cover - exercised via monkeypatch
             # The remote Mosaic compiler can reject a kernel (e.g. VMEM
