@@ -136,3 +136,34 @@ def test_cli_joint_relation_eval(tmp_path, capsys):
     assert len(rows) == 8
     for row in rows:
         assert all(0 <= int(c) < V for c in row[3].split())
+
+
+def test_collate_joint_ctc_packing():
+    """collate_joint_ctc packs the charades prepare() outputs (v_targets +
+    o_targets with independent v_time/o_time) into the joint batch
+    convention; -1 object padding zeroed."""
+    from ctc_tpu.data.loading import collate_joint_ctc
+
+    o_class, L = 4, 3
+    data = {
+        "v_targets": [np.array([2, 5, -1]), np.array([1, -1, -1])],
+        "o_targets": [
+            np.array([[0, 1, 0, 0], [1, 0, 0, 0], [-1, -1, -1, -1]],
+                     np.float32),
+            np.array([[0, 0, 1, 0], [-1, -1, -1, -1], [-1, -1, -1, -1]],
+                     np.float32),
+        ],
+        "v_times": [2, 1],
+        "o_times": [2, 1],
+        "v_f_targets": [5, 1],
+    }
+    feats = np.zeros((2, L, 8), np.float32)
+    b = collate_joint_ctc(data, [0, 1], feats)
+    assert b["paths"].shape == (2, L, 1 + o_class)
+    np.testing.assert_array_equal(b["paths"][0, :, 0], [2, 5, -1])
+    np.testing.assert_array_equal(b["paths"][0, 0, 1:], [0, 1, 0, 0])
+    # -1 padded object rows are zeroed (masked out by target_lengths)
+    np.testing.assert_array_equal(b["paths"][1, 1, 1:], [0, 0, 0, 0])
+    np.testing.assert_array_equal(b["target_lengths"], [[2, 2], [1, 1]])
+    np.testing.assert_array_equal(b["future_target"], [5, 1])
+    assert b["input_lengths"].tolist() == [L, L]
