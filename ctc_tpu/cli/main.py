@@ -158,6 +158,7 @@ def main(argv=None):
         seq_microbatches=cfg.seq_microbatches,
         model_parallel=cfg.model_parallel,
         steps_per_dispatch=cfg.steps_per_dispatch,
+        joint_object_weight=cfg.joint_object_weight,
     )
 
     state = trainer.init_state(train_batches[0])

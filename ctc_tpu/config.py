@@ -106,7 +106,10 @@ class Config:
     grad_norm_freq: int = 0     # log global grad norm every N optimizer steps
 
     # loss/kernel selection (new)
-    loss: str = "noblank"  # noblank | binary | blank | ce | bce | mlce
+    loss: str = "noblank"  # noblank | binary | blank | joint | ce | bce | mlce
+    # --loss joint: scale on the object (binary-CTC) term — its
+    # mean-over-classes emissions run ~1/o_class the verb NLL's magnitude
+    joint_object_weight: float = 1.0
     lattice_impl: str | None = None  # xla | pallas | None(auto)
     # matmul/conv compute dtype: 'bf16' runs the I3D convs and LSTM matmuls
     # in bfloat16 on the MXU (params, BN, recurrence state stay f32 —

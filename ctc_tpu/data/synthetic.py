@@ -107,8 +107,8 @@ def pack_joint_batches(batches, o_class: int):
 
 def synthetic_val_video(
     *,
-    num_videos: int = 4,
-    windows_per_video: int = 3,
+    num_videos: int = 12,
+    windows_per_video: int = 4,
     temporal: int = 10,
     feat_dim: int = 1024,
     v_class: int = 33,

@@ -53,24 +53,30 @@ def joint_ov_ctc_loss(
     *,
     implementation: str | None = None,
     interpret: bool = False,
+    object_weight: float = 1.0,
 ) -> jnp.ndarray:
     """Verb NoBlankCTC + object NoBlankBinaryCTC off one joint head.
 
-    The sum of the two batch-mean losses — each term identical to its
-    standalone registry loss on the corresponding logits slice, so the
-    joint step is exactly "train both heads at once".
+    The weighted sum of the two batch-mean losses — each term identical
+    to its standalone registry loss on the corresponding logits slice, so
+    the joint step is exactly "train both heads at once".
 
     Args:
       logits: ``[T, B, v_class + o_class]``.
       paths: ``[B, L, 1 + o_class]`` packed (see module docstring).
       input_lengths: ``[B]``.
       target_lengths: ``[B, 2]`` — ``(v_time, o_time)``.
+      object_weight: scale on the object term (``--joint-object-weight``).
+        The binary NLL's emissions are MEAN BCE over the o_class classes
+        (torch semantics), so its magnitude — and the shared trunk's
+        gradient share — runs ~1/o_class of the verb NLL's; raise this to
+        rebalance when the object head undertrains.
     """
     v_logits, o_logits = split_joint_logits(logits, paths)
     v_paths, o_paths = unpack_joint_paths(paths)
     kw = dict(implementation=implementation, interpret=interpret)
     return no_blank_ctc_loss(
         v_logits, v_paths, input_lengths, target_lengths[:, 0], **kw
-    ) + no_blank_binary_ctc_loss(
+    ) + object_weight * no_blank_binary_ctc_loss(
         o_logits, o_paths, input_lengths, target_lengths[:, 1], **kw
     )

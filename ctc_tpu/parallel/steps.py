@@ -60,11 +60,12 @@ def replicate(tree, mesh):
 
 
 def _make_local_step(model, loss_kind, implementation, ce_weight, interpret,
-                     frozen_subtrees):
+                     frozen_subtrees, loss_fn=None):
     """The per-shard (inside-shard_map) step body shared by the single-step
     and the K-steps-per-dispatch sharded programs: local forward/backward,
-    pmean'd gradients/metrics/BN stats."""
-    loss_fn_core = _LOSS_FNS[loss_kind]
+    pmean'd gradients/metrics/BN stats.  ``loss_fn`` overrides the
+    registry lookup (e.g. a weighted joint loss)."""
+    loss_fn_core = loss_fn if loss_fn is not None else _LOSS_FNS[loss_kind]
     kwargs = {"implementation": implementation}
     if interpret:
         kwargs["interpret"] = True
@@ -139,7 +140,7 @@ def _make_local_step(model, loss_kind, implementation, ce_weight, interpret,
 def make_sharded_train_step(
     model, mesh, loss_kind: str = "noblank", implementation=None,
     ce_weight: float = 0.0, interpret: bool = False,
-    frozen_subtrees: tuple = (),
+    frozen_subtrees: tuple = (), loss_fn=None,
 ):
     """Jitted train step with per-shard forward/backward and explicit
     ``lax.pmean`` gradient + metric exchange over the ``data`` axis.
@@ -161,7 +162,7 @@ def make_sharded_train_step(
     table); zeros are unchanged by pmean, so the result is identical.
     """
     local_step = _make_local_step(model, loss_kind, implementation, ce_weight,
-                                  interpret, frozen_subtrees)
+                                  interpret, frozen_subtrees, loss_fn)
 
     sharded = shard_map(
         local_step,
@@ -186,7 +187,7 @@ def make_sharded_train_step(
 def make_sharded_multi_train_step(
     model, mesh, loss_kind: str = "noblank", implementation=None,
     ce_weight: float = 0.0, interpret: bool = False,
-    frozen_subtrees: tuple = (),
+    frozen_subtrees: tuple = (), loss_fn=None,
 ):
     """K optimizer steps per dispatch on a data mesh: ``lax.scan`` over the
     stacked batches *inside* the shard_map body.
@@ -203,7 +204,7 @@ def make_sharded_multi_train_step(
     vectors.
     """
     local_step = _make_local_step(model, loss_kind, implementation, ce_weight,
-                                  interpret, frozen_subtrees)
+                                  interpret, frozen_subtrees, loss_fn)
 
     def local_multi(state, batches, dropout_rng):
         def body(s, batch):

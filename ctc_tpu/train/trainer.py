@@ -348,6 +348,7 @@ class Trainer:
         seq_microbatches: int = 0,
         model_parallel: int = 1,
         steps_per_dispatch: int = 1,
+        joint_object_weight: float = 1.0,
     ):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``data`` axis — the
         trainer then runs the shard_map train step with explicit
@@ -438,6 +439,15 @@ class Trainer:
         self.mesh = mesh
         seq_loss_fn = None
         composed = False
+        if loss_kind == "joint" and joint_object_weight != 1.0:
+            # rebalance the two heads (--joint-object-weight): the binary
+            # NLL's mean-over-classes emissions make it ~1/o_class the
+            # verb NLL's magnitude
+            from ctc_tpu.losses.joint import joint_ov_ctc_loss
+
+            seq_loss_fn = partial(
+                joint_ov_ctc_loss, object_weight=joint_object_weight
+            )
         if model_parallel > 1 and seq_parallel > 1:
             raise ValueError(
                 "model_parallel and seq_parallel cannot be combined — the "
@@ -522,7 +532,7 @@ class Trainer:
             )
             self.train_step = make_sharded_train_step(
                 model, mesh, loss_kind, implementation, ce_weight=ce_weight,
-                frozen_subtrees=frozen,
+                frozen_subtrees=frozen, loss_fn=seq_loss_fn,
             )
         else:
             # single-device, or a composed (data, model)/(data, seq) mesh:
@@ -560,6 +570,7 @@ class Trainer:
                 self.multi_step = make_sharded_multi_train_step(
                     model, mesh, loss_kind, implementation,
                     ce_weight=ce_weight, frozen_subtrees=frozen,
+                    loss_fn=seq_loss_fn,
                 )
             else:
                 self.multi_step = make_multi_train_step(

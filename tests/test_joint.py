@@ -167,3 +167,54 @@ def test_collate_joint_ctc_packing():
     np.testing.assert_array_equal(b["target_lengths"], [[2, 2], [1, 1]])
     np.testing.assert_array_equal(b["future_target"], [5, 1])
     assert b["input_lengths"].tolist() == [L, L]
+
+
+def test_joint_object_weight(rng):
+    """object_weight rebalances the two heads: weighted loss == verb +
+    w * object, and the Trainer knob reaches plain AND sharded steps."""
+    import jax
+
+    from ctc_tpu.parallel.mesh import make_mesh
+
+    (batch,) = _joint_batches(num_batches=1)
+    t, b = batch["feats"].shape[1], batch["feats"].shape[0]
+    logits = jnp.asarray(rng.standard_normal((t, b, V + O)), jnp.float32)
+    paths = jnp.asarray(batch["paths"])
+    in_len = jnp.asarray(batch["input_lengths"])
+    tgt = jnp.asarray(batch["target_lengths"])
+    w = 7.0
+    got = losses.joint_ov_ctc_loss(
+        logits, paths, in_len, tgt, implementation="xla", object_weight=w
+    )
+    v = losses.no_blank_ctc_loss(
+        logits[..., :V], jnp.round(paths[..., 0]).astype(jnp.int32),
+        in_len, tgt[:, 0], implementation="xla",
+    )
+    o = losses.no_blank_binary_ctc_loss(
+        logits[..., V:], paths[..., 1:], in_len, tgt[:, 1],
+        implementation="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(v) + w * np.asarray(o), rtol=1e-6
+    )
+
+    batches = _joint_batches(num_batches=2, seed=9)
+    model = LSTMHead(hidden=V + O, dropout_rate=0.0)
+    common = dict(loss_kind="joint", lr=1e-2, seed=0, implementation="xla",
+                  joint_object_weight=w)
+    tr_p = Trainer(model, **common)
+    tr_m = Trainer(model, mesh=make_mesh(data=8), steps_per_dispatch=2,
+                   **common)
+    s_p = tr_p.init_state(batches[0])
+    s_m = tr_m.init_state(batches[0])
+    s_p, m_p = tr_p.train_epoch(s_p, batches, epoch=0)
+    s_m, m_m = tr_m.train_epoch(s_m, batches, epoch=0)
+    # weighted loss flows through both paths identically
+    np.testing.assert_allclose(m_m["loss"], m_p["loss"], rtol=1e-5,
+                               atol=1e-6)
+    # and differs from the unweighted trainer's loss
+    tr_u = Trainer(model, loss_kind="joint", lr=1e-2, seed=0,
+                   implementation="xla")
+    s_u = tr_u.init_state(batches[0])
+    _, m_u = tr_u.train_epoch(s_u, batches, epoch=0)
+    assert abs(m_u["loss"] - m_p["loss"]) > 1e-3
