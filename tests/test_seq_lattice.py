@@ -344,3 +344,35 @@ def test_seq_sharded_pallas_blank_matches(rng, seq_mesh):
     np.testing.assert_allclose(
         np.asarray(g_k), np.asarray(g_u), rtol=1e-5, atol=1e-5
     )
+
+
+def test_seq_sharded_pallas_composes_with_data_axis(rng):
+    """Kernel shards under the composed data×seq mesh (batch over 'data',
+    T pipeline over 'seq') match the unsharded loss."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ctc_tpu import losses
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "seq"))
+    T, B, C, L = 16, 8, 9, 6
+    logits = jnp.asarray(rng.standard_normal((T, B, C)).astype(np.float32))
+    paths = jnp.asarray(rng.integers(0, C, size=(B, L)).astype(np.int32))
+    in_len = jnp.asarray(np.full((B,), T))
+    tgt_len = jnp.asarray(rng.integers(1, L + 1, size=B))
+
+    fn = make_seq_sharded_lattice_nll(
+        mesh, mode="noblank_logits", batch_axis="data",
+        implementation="pallas", interpret=True,
+    )
+    placed = jax.device_put(
+        logits, NamedSharding(mesh, P("seq", "data"))
+    )
+    got = fn(placed, paths, in_len, tgt_len)
+    want = losses.no_blank_ctc_loss(
+        logits, paths, in_len, tgt_len, reduction="none",
+        implementation="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
