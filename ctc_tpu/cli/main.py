@@ -57,18 +57,22 @@ def main(argv=None):
             f"--seq-parallel {cfg.seq_parallel} (the lattice T axis is "
             "split into equal shards)"
         )
-    # decode-beam compatibility fails HERE, before any compile/eval work
-    # (a misconfigured run used to pay the full evaluation pass first)
-    if cfg.decode_beam and cfg.loss != "blank":
-        raise SystemExit(
-            "--decode-beam needs a blank symbol: use --loss blank"
-        )
-    if cfg.decode_beam and cfg.seq_parallel > 1:
-        raise SystemExit(
-            "--decode-beam does not compose with --seq-parallel "
-            "(greedy decode does)"
-        )
-    if cfg.decode_align and cfg.loss not in ("noblank", "binary"):
+    # decode compatibility fails HERE, before any compile/eval work (a
+    # misconfigured eval run used to pay the full evaluation pass first);
+    # gated on the flags that make decode run at all, so training-only
+    # invocations carrying a stale decode flag keep working
+    if cfg.evaluate and cfg.decode and cfg.decode_beam:
+        if cfg.loss != "blank":
+            raise SystemExit(
+                "--decode-beam needs a blank symbol: use --loss blank"
+            )
+        if cfg.seq_parallel > 1:
+            raise SystemExit(
+                "--decode-beam does not compose with --seq-parallel "
+                "(greedy decode does)"
+            )
+    if (cfg.evaluate and cfg.decode_align
+            and cfg.loss not in ("noblank", "binary")):
         raise SystemExit(
             "--decode-align force-aligns the blank-free lattice: "
             "use --loss noblank or binary"

@@ -49,7 +49,10 @@ def synthetic_feature_batches(
         future = np.zeros((batch_size,), np.int32)
         for b in range(batch_size):
             cap = min(max_path, num_classes, temporal)
-            path_len = int(rng.integers(2, max(cap, 2) + 1))
+            # a max_path of 1 (tiny blank-loss geometries) caps the draw
+            # at 1 instead of overflowing the path width
+            lo = min(2, cap)
+            path_len = int(rng.integers(lo, max(cap, lo) + 1))
             labels = rng.choice(num_classes, size=path_len, replace=False)
             # segment boundaries: when each label becomes active
             bounds = np.sort(

@@ -70,10 +70,12 @@ def score_windows(model, state, feats: np.ndarray,
                   batch_size: int = 10, reduce: str = "final") -> np.ndarray:
     """Per-window class scores for ``[N, T, F]`` feature windows.
 
-    ``reduce='final'`` (default) takes the final timestep's logits — the
+    ``reduce='final'`` (default, used by every product path incl. the
+    relation-tagging eval) takes the final timestep's logits — the
     reference's prediction semantics (/root/reference/train.py:434);
-    ``'mean'`` averages logits over time — the presence detector used for
-    video-level relation tagging (a window's classes, not its future).
+    ``'mean'`` averages logits over time (a presence-detector alternative;
+    measured WORSE for the joint relation eval on-chip, see
+    :func:`evaluate_videos_joint`).
     """
     import jax
     import jax.numpy as jnp

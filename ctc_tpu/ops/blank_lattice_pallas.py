@@ -49,6 +49,7 @@ from ctc_tpu.ops.lattice_pallas import (
     _SUBLANE,
     _label_index,
     _narrow,
+    _orient_row,
     _pad_tb,
     _round_up,
     _tiles_for,
@@ -560,10 +561,6 @@ _nll_pallas.defvjp(_nll_pallas_fwd, _nll_pallas_bwd)
 # Boundary-aware shard op for the sequence-sharded pipeline (the blank-CTC
 # twin of ctc_tpu.ops.lattice_pallas.noblank_shard_lattice_pallas).
 # ---------------------------------------------------------------------------
-
-
-def _orient_row(row_bl, label_axis):
-    return row_bl.T if label_axis == 0 else row_bl
 
 
 def _run_shard_forward(em, init0, skip0, skip_ok, inlen_local,
