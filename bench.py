@@ -229,6 +229,64 @@ def bench_blank(backend: str) -> dict | None:
             "shape": {"T": T, "B": B, "C": C, "L": L, "S": s_len}}
 
 
+def bench_seq_kernel(backend: str) -> dict | None:
+    """Long-T seq-parallel critical path: the boundary-init Pallas kernel
+    shards (ops/lattice_pallas.py::noblank_shard_lattice_pallas) chained
+    into an emulated 4-shard pipeline at T=1024, B=512, L=157, fwd+bwd —
+    the per-shard programs a 4-device seq mesh runs (minus the ~µs
+    ppermute).  Skipped off-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    if backend != "tpu":
+        return None
+    from ctc_tpu.ops.lattice_pallas import (
+        NEG_SENTINEL,
+        boundary_width,
+        noblank_shard_lattice_pallas,
+    )
+
+    T, B, L, n = 1024, 512, 157, 4
+    t_s = T // n
+    w = boundary_width(L, "tlb")
+    rng = np.random.default_rng(0)
+    in_len = jnp.asarray(rng.integers(T // 2, T + 1, size=B))
+    tgt_len = jnp.asarray(rng.integers(1, L + 1, size=B))
+    em = jnp.asarray(
+        (rng.standard_normal((T, w, B)) - 1).astype(np.float32)
+    )
+
+    def chain(em_tlb):
+        std_init = (
+            jnp.full((B, w), NEG_SENTINEL, jnp.float32).at[:, 0].set(0.0)
+        )
+        sent = jnp.full((B, w), NEG_SENTINEL, jnp.float32)
+        boundary = std_init
+        finals = jnp.zeros((B,), jnp.float32)
+        for k in range(n):
+            f, boundary = noblank_shard_lattice_pallas(
+                jax.lax.dynamic_slice(em_tlb, (k * t_s, 0, 0), (t_s, w, B)),
+                std_init if k == 0 else boundary,
+                sent if k == 0 else boundary,
+                in_len - k * t_s, tgt_len, "tlb", False, None,
+            )
+            finals = finals + f
+        return jnp.sum(-finals)
+
+    grad_fn = jax.jit(jax.grad(chain))
+    cells = T * B * L
+    try:
+        dt, t_same, t_uniq = measure(grad_fn, em, iters=20, n_bufs=4,
+                                     reps=4)
+    except Exception as e:  # pragma: no cover
+        _log(f"seq-kernel bench failed ({e}); skipping")
+        return None
+    _log(f"seq kernel chain [{backend}]: {dt*1e3:.3f} ms/step fwd+bwd at "
+         f"{cells} cells over {n} emulated shards -> {cells/dt:.3e} cells/s")
+    return {"ms_per_step": dt * 1e3, "cells_per_s": cells / dt,
+            "shape": {"T": T, "B": B, "L": L, "n_shards": n}}
+
+
 def bench_train_step(backend: str) -> dict | None:
     """Full jitted feature-mode train step (LSTM head + NoBlankCTC + backward
     + Adam + metrics as one XLA program) — the single-chip number behind
@@ -292,6 +350,7 @@ def main():
     noblank = bench_noblank(backend)
     binary = bench_binary_e2e(backend)
     blank = bench_blank(backend)
+    seq_kernel = bench_seq_kernel(backend)
     train = bench_train_step(backend)
     try:
         ref = bench_reference_eager()
@@ -305,6 +364,7 @@ def main():
         "noblank_lattice": noblank,
         "binary_e2e": binary,
         "blank_ctc": blank,
+        "seq_kernel_chain": seq_kernel,
         "train_step": train,
         "reference_eager_cells_per_s": ref,
         "methodology": ("async dispatch loops; per protocol the median of "
