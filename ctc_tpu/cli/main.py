@@ -357,6 +357,7 @@ def main(argv=None):
         start_epoch=start_epoch,
         video_eval=video_eval,
         max_restarts=cfg.max_restarts,
+        profile_dir=(cfg.profile_dir or None),
     )
     print(f"done: best val top1 "
           f"{max(h['val']['top1'] for h in history):.3f}")

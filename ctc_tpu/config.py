@@ -104,6 +104,9 @@ class Config:
     max_restarts: int = 0       # crash auto-resume: restore ckpt + continue
     skip_nonfinite: bool = False  # drop NaN/Inf updates instead of applying
     grad_norm_freq: int = 0     # log global grad norm every N optimizer steps
+    # collect a jax.profiler device trace of the FIRST trained epoch into
+    # this directory (view with TensorBoard/xprof — SURVEY.md §5.1)
+    profile_dir: str = ""
 
     # loss/kernel selection (new)
     loss: str = "noblank"  # noblank | binary | blank | joint | ce | bce | mlce

@@ -780,6 +780,7 @@ class Trainer:
         checkpoint_best: bool = True,
         max_restarts: int = 0,
         video_eval: Callable[[TrainState], dict] | None = None,
+        profile_dir: str | None = None,
     ):
         """Epoch loop with per-epoch checkpointing and, with
         ``max_restarts > 0``, crash recovery: an epoch that raises restores
@@ -792,7 +793,12 @@ class Trainer:
         in the history/score log and selects the best checkpoint (the
         reference's checkpoints.save stores mAP as the score,
         /root/reference/checkpoints.py:59-76, but its video eval was dead
-        code — here it runs inside the training loop)."""
+        code — here it runs inside the training loop).
+
+        ``profile_dir``: collect a ``jax.profiler`` device trace of the
+        FIRST trained epoch into this directory
+        (:func:`ctc_tpu.utils.profiling.trace` — SURVEY.md §5.1; one epoch
+        keeps the trace viewable)."""
         from ctc_tpu.train import checkpoints as ckpt
 
         if state is None:
@@ -802,11 +808,21 @@ class Trainer:
         restarts = 0
         score_log = self._csv_writer("score.csv")
         epoch = start_epoch
+        traced = False
         while epoch < epochs:
             try:
-                state, train_metrics = self.train_epoch(
-                    state, train_loader, epoch
-                )
+                if profile_dir and not traced:
+                    from ctc_tpu.utils.profiling import trace
+
+                    traced = True
+                    with trace(profile_dir):
+                        state, train_metrics = self.train_epoch(
+                            state, train_loader, epoch
+                        )
+                else:
+                    state, train_metrics = self.train_epoch(
+                        state, train_loader, epoch
+                    )
                 val_metrics = self.validate(state, val_loader, epoch)
                 if video_eval is not None:
                     vm = video_eval(state)

@@ -34,3 +34,26 @@ def test_log_grad_norms_identity():
     state = tx.init(params)
     updates, _ = tx.update({"w": jnp.full((2,), 3.0)}, state, params)
     np.testing.assert_allclose(np.asarray(updates["w"]), -3.0 * np.ones(2))
+
+
+def test_profile_dir_collects_trace(tmp_path):
+    """--profile-dir: the first trained epoch emits a jax.profiler trace
+    (SURVEY.md §5.1 — the reference has only wall-clock meters)."""
+    import os
+
+    from ctc_tpu.cli.main import main
+
+    trace_dir = tmp_path / "trace"
+    main([
+        "--dataset", "synthetic", "--epochs", "2", "--batch-size", "4",
+        "--temporal", "6", "--extract-feat-dim", "8", "--v-class", "7",
+        "--cache-dir", str(tmp_path), "--name", "prof",
+        "--print-train-freq", "100", "--print-test-freq", "100",
+        "--profile-dir", str(trace_dir),
+    ])
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(trace_dir) for f in fs
+    ]
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in found), found
