@@ -184,6 +184,68 @@ def make_sharded_train_step(
     return train_step
 
 
+def make_sharded_eval_step(
+    model, mesh, loss_kind: str = "noblank", implementation=None,
+    transition_metrics: bool = False, loss_fn=None,
+):
+    """Eval step under shard_map: per-shard loss/metrics, pmean'd over the
+    ``data`` axis — keeps the lattice Pallas kernel under shard_map with
+    per-shard operands (like the train step) instead of under
+    GSPMD-sharded ones.  Numerically equal to the plain eval step: eval
+    uses running BN stats and every metric is a per-sample mean, so the
+    pmean of equal-sized shard means is the global mean."""
+    from ctc_tpu.train.trainer import _make_eval_body
+
+    body = _make_eval_body(model, loss_kind, implementation,
+                           transition_metrics, loss_fn)
+
+    def local_eval(state, batch):
+        return jax.tree_util.tree_map(
+            lambda v: jax.lax.pmean(v, DATA_AXIS), body(state, batch)
+        )
+
+    sharded = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_multi_eval_step(
+    model, mesh, loss_kind: str = "noblank", implementation=None,
+    transition_metrics: bool = False, loss_fn=None,
+):
+    """K eval steps per dispatch on a data mesh: ``lax.scan`` over the
+    stacked batches inside the shard_map body (the eval twin of
+    :func:`make_sharded_multi_train_step`); metrics come back as ``[K]``
+    vectors."""
+    from ctc_tpu.train.trainer import _make_eval_body
+
+    body = _make_eval_body(model, loss_kind, implementation,
+                           transition_metrics, loss_fn)
+
+    def local_multi(state, batches):
+        def scan_body(_, batch):
+            return None, jax.tree_util.tree_map(
+                lambda v: jax.lax.pmean(v, DATA_AXIS), body(state, batch)
+            )
+
+        _, metrics = jax.lax.scan(scan_body, None, batches)
+        return metrics
+
+    sharded = shard_map(
+        local_multi,
+        mesh=mesh,
+        in_specs=(P(), P(None, DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_multi_train_step(
     model, mesh, loss_kind: str = "noblank", implementation=None,
     ce_weight: float = 0.0, interpret: bool = False,

@@ -544,11 +544,23 @@ class Trainer:
             self.train_step = make_train_step(model, loss_kind,
                                               implementation, ce_weight,
                                               loss_fn=seq_loss_fn)
-        # eval has no cross-replica state: the plain jitted step consumes
-        # mesh-sharded batches directly (XLA partitions it automatically)
-        self.eval_step = make_eval_step(model, loss_kind, implementation,
-                                        transition_metrics,
-                                        loss_fn=seq_loss_fn)
+        if mesh is not None and not composed:
+            # mirror the train step: eval under shard_map keeps the Pallas
+            # loss on per-shard operands (GSPMD has no sharding rule for
+            # the pallas_call); pmean'd per-sample means == global means
+            from ctc_tpu.parallel.steps import make_sharded_eval_step
+
+            self.eval_step = make_sharded_eval_step(
+                model, mesh, loss_kind, implementation,
+                transition_metrics, loss_fn=seq_loss_fn,
+            )
+        else:
+            # single-device, or a composed mesh whose loss carries its own
+            # shard_map: the plain jitted step consumes sharded batches
+            self.eval_step = make_eval_step(model, loss_kind,
+                                            implementation,
+                                            transition_metrics,
+                                            loss_fn=seq_loss_fn)
         self.steps_per_dispatch = max(steps_per_dispatch, 1)
         if self.steps_per_dispatch > 1:
             # K optimizer steps per dispatched program (lax.scan over
@@ -577,10 +589,20 @@ class Trainer:
                     model, loss_kind, implementation, ce_weight,
                     loss_fn=seq_loss_fn,
                 )
-            self.multi_eval_step = make_multi_eval_step(
-                model, loss_kind, implementation, transition_metrics,
-                loss_fn=seq_loss_fn,
-            )
+            if mesh is not None and not composed:
+                from ctc_tpu.parallel.steps import (
+                    make_sharded_multi_eval_step,
+                )
+
+                self.multi_eval_step = make_sharded_multi_eval_step(
+                    model, mesh, loss_kind, implementation,
+                    transition_metrics, loss_fn=seq_loss_fn,
+                )
+            else:
+                self.multi_eval_step = make_multi_eval_step(
+                    model, loss_kind, implementation, transition_metrics,
+                    loss_fn=seq_loss_fn,
+                )
         self.cache_dir = cache_dir
         self.print_freq = print_freq
         self.print_test_freq = print_test_freq
