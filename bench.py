@@ -261,7 +261,7 @@ def bench_seq_kernel(backend: str) -> dict | None:
             jnp.full((B, w), NEG_SENTINEL, jnp.float32).at[:, 0].set(0.0)
         )
         sent = jnp.full((B, w), NEG_SENTINEL, jnp.float32)
-        boundary = std_init
+        boundary = None  # bound by shard 0's call; never read before
         finals = jnp.zeros((B,), jnp.float32)
         for k in range(n):
             f, boundary = noblank_shard_lattice_pallas(
@@ -370,7 +370,9 @@ def main():
         "methodology": ("async dispatch loops; per protocol the median of "
                         "5x50-iter loops; max(same-buffer, "
                         "8-distinct-buffers); train step = median of 6 "
-                        "50-iter loops"),
+                        "50-iter loops; seq_kernel_chain = median of "
+                        "4x20-iter loops, 4 distinct buffers (335 MB "
+                        "operands)"),
     }
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -184,16 +184,13 @@ def make_sharded_train_step(
     return train_step
 
 
-def make_sharded_eval_step(
-    model, mesh, loss_kind: str = "noblank", implementation=None,
-    transition_metrics: bool = False, loss_fn=None,
-):
-    """Eval step under shard_map: per-shard loss/metrics, pmean'd over the
-    ``data`` axis — keeps the lattice Pallas kernel under shard_map with
-    per-shard operands (like the train step) instead of under
-    GSPMD-sharded ones.  Numerically equal to the plain eval step: eval
-    uses running BN stats and every metric is a per-sample mean, so the
-    pmean of equal-sized shard means is the global mean."""
+def _make_local_eval(model, loss_kind, implementation, transition_metrics,
+                     loss_fn):
+    """Per-shard eval body: the plain eval metrics, pmean'd over ``data``.
+    Numerically equal to the unsharded eval step (running BN stats; every
+    metric is a per-sample mean, so the pmean of equal-sized shard means
+    is the global mean) — shared by the single and K-per-dispatch sharded
+    eval builders."""
     from ctc_tpu.train.trainer import _make_eval_body
 
     body = _make_eval_body(model, loss_kind, implementation,
@@ -204,6 +201,19 @@ def make_sharded_eval_step(
             lambda v: jax.lax.pmean(v, DATA_AXIS), body(state, batch)
         )
 
+    return local_eval
+
+
+def make_sharded_eval_step(
+    model, mesh, loss_kind: str = "noblank", implementation=None,
+    transition_metrics: bool = False, loss_fn=None,
+):
+    """Eval step under shard_map: per-shard loss/metrics, pmean'd over the
+    ``data`` axis — keeps the lattice Pallas kernel under shard_map with
+    per-shard operands (like the train step) instead of under
+    GSPMD-sharded ones."""
+    local_eval = _make_local_eval(model, loss_kind, implementation,
+                                  transition_metrics, loss_fn)
     sharded = shard_map(
         local_eval,
         mesh=mesh,
@@ -222,16 +232,12 @@ def make_sharded_multi_eval_step(
     stacked batches inside the shard_map body (the eval twin of
     :func:`make_sharded_multi_train_step`); metrics come back as ``[K]``
     vectors."""
-    from ctc_tpu.train.trainer import _make_eval_body
-
-    body = _make_eval_body(model, loss_kind, implementation,
-                           transition_metrics, loss_fn)
+    local_eval = _make_local_eval(model, loss_kind, implementation,
+                                  transition_metrics, loss_fn)
 
     def local_multi(state, batches):
         def scan_body(_, batch):
-            return None, jax.tree_util.tree_map(
-                lambda v: jax.lax.pmean(v, DATA_AXIS), body(state, batch)
-            )
+            return None, local_eval(state, batch)
 
         _, metrics = jax.lax.scan(scan_body, None, batches)
         return metrics

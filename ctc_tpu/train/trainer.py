@@ -519,8 +519,21 @@ class Trainer:
                     seq_mesh, loss_kind,
                     num_microbatches=(seq_microbatches or None),
                 )
-        if mesh is not None and not composed:
-            from ctc_tpu.parallel.steps import make_sharded_train_step
+        # A plain (data-only) mesh runs EVERY step under shard_map — train,
+        # eval, and their K-per-dispatch scans — so the Pallas loss always
+        # sees per-shard operands (GSPMD has no sharding rule for the
+        # pallas_call) and BN stats are pmean'd identically everywhere.
+        # Single-device, or a composed mesh whose loss carries its own
+        # shard_map, uses the plain jitted steps (GSPMD partitions the
+        # model fwd/bwd around the loss's pinned second-axis layout).
+        use_sharded = mesh is not None and not composed
+        if use_sharded:
+            from ctc_tpu.parallel.steps import (
+                make_sharded_eval_step,
+                make_sharded_multi_eval_step,
+                make_sharded_multi_train_step,
+                make_sharded_train_step,
+            )
 
             # frozen-backbone pixels mode: the I3D grads are exact zeros
             # (stop_gradient), so skip their 49 MB share of the pmean
@@ -534,71 +547,41 @@ class Trainer:
                 model, mesh, loss_kind, implementation, ce_weight=ce_weight,
                 frozen_subtrees=frozen, loss_fn=seq_loss_fn,
             )
-        else:
-            # single-device, or a composed (data, model)/(data, seq) mesh:
-            # the plain jitted step consumes 'data'-sharded batches and
-            # replicated params — XLA GSPMD partitions the model fwd/bwd
-            # (inserting the gradient all-reduce) while the loss's own
-            # shard_map pins the second-axis layout.  BatchNorm reduces over
-            # the full global batch, so this matches single-device exactly.
-            self.train_step = make_train_step(model, loss_kind,
-                                              implementation, ce_weight,
-                                              loss_fn=seq_loss_fn)
-        if mesh is not None and not composed:
-            # mirror the train step: eval under shard_map keeps the Pallas
-            # loss on per-shard operands (GSPMD has no sharding rule for
-            # the pallas_call); pmean'd per-sample means == global means
-            from ctc_tpu.parallel.steps import make_sharded_eval_step
-
             self.eval_step = make_sharded_eval_step(
                 model, mesh, loss_kind, implementation,
                 transition_metrics, loss_fn=seq_loss_fn,
             )
         else:
-            # single-device, or a composed mesh whose loss carries its own
-            # shard_map: the plain jitted step consumes sharded batches
+            self.train_step = make_train_step(model, loss_kind,
+                                              implementation, ce_weight,
+                                              loss_fn=seq_loss_fn)
             self.eval_step = make_eval_step(model, loss_kind,
                                             implementation,
                                             transition_metrics,
                                             loss_fn=seq_loss_fn)
         self.steps_per_dispatch = max(steps_per_dispatch, 1)
         if self.steps_per_dispatch > 1:
-            # K optimizer steps per dispatched program (lax.scan over
+            # K optimizer/eval steps per dispatched program (lax.scan over
             # stacked batches) — amortizes per-dispatch latency; exact
-            # K-single-step semantics.  On a plain data mesh the scan runs
-            # INSIDE the shard_map body (make_sharded_multi_train_step),
-            # so each substep is bit-identical to the shard_map single
-            # step (same pmean'd BN stats, same dropout streams, Pallas
-            # kernel under shard_map rather than GSPMD).  On a composed
-            # mesh the loss carries its own shard_map and the stacked
-            # batch is placed P(None, 'data') with GSPMD partitioning the
-            # scanned body.  The sub-K remainder falls back to
-            # self.train_step.
-            if mesh is not None and not composed:
-                from ctc_tpu.parallel.steps import (
-                    make_sharded_multi_train_step,
-                )
-
+            # K-single-step semantics (on the sharded path the scan runs
+            # INSIDE the shard_map body, so each substep is bit-identical
+            # to the single step incl. dropout streams).  The sub-K
+            # remainder falls back to the single steps.
+            if use_sharded:
                 self.multi_step = make_sharded_multi_train_step(
                     model, mesh, loss_kind, implementation,
                     ce_weight=ce_weight, frozen_subtrees=frozen,
                     loss_fn=seq_loss_fn,
+                )
+                self.multi_eval_step = make_sharded_multi_eval_step(
+                    model, mesh, loss_kind, implementation,
+                    transition_metrics, loss_fn=seq_loss_fn,
                 )
             else:
                 self.multi_step = make_multi_train_step(
                     model, loss_kind, implementation, ce_weight,
                     loss_fn=seq_loss_fn,
                 )
-            if mesh is not None and not composed:
-                from ctc_tpu.parallel.steps import (
-                    make_sharded_multi_eval_step,
-                )
-
-                self.multi_eval_step = make_sharded_multi_eval_step(
-                    model, mesh, loss_kind, implementation,
-                    transition_metrics, loss_fn=seq_loss_fn,
-                )
-            else:
                 self.multi_eval_step = make_multi_eval_step(
                     model, loss_kind, implementation, transition_metrics,
                     loss_fn=seq_loss_fn,
@@ -829,6 +812,8 @@ class Trainer:
         history = []
         restarts = 0
         score_log = self._csv_writer("score.csv")
+        import contextlib
+
         epoch = start_epoch
         traced = False
         while epoch < epochs:
@@ -836,15 +821,16 @@ class Trainer:
                 if profile_dir and not traced:
                     from ctc_tpu.utils.profiling import trace
 
-                    traced = True
-                    with trace(profile_dir):
-                        state, train_metrics = self.train_epoch(
-                            state, train_loader, epoch
-                        )
+                    ctx = trace(profile_dir)
                 else:
+                    ctx = contextlib.nullcontext()
+                with ctx:
                     state, train_metrics = self.train_epoch(
                         state, train_loader, epoch
                     )
+                # only a COMPLETED epoch counts as traced: a crash mid-epoch
+                # (max_restarts path) retries with tracing still armed
+                traced = traced or bool(profile_dir)
                 val_metrics = self.validate(state, val_loader, epoch)
                 if video_eval is not None:
                     vm = video_eval(state)
